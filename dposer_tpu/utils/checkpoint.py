@@ -1,0 +1,174 @@
+"""Checkpointing: PyTorch release-checkpoint conversion + native orbax state.
+
+The reference ships/loads ``.pth`` dicts with schema
+``{model_state_dict, optimizer_state_dict, epoch, ema: {decay, num_updates,
+shadow_params}, step}`` (ref ``run/train.py:395-401``). This module maps them
+into flax parameter pytrees for :class:`dposer_tpu.models.ScoreModelFC`:
+
+- ``Linear.weight`` ([out, in]) -> ``kernel`` ([in, out], transposed)
+- ``GroupNorm.weight/bias`` -> ``scale``/``bias``
+- ``shared_time_embed.0`` (Sequential index) -> ``shared_time_embed_0``
+- the ``sigmas`` buffer is recomputed, never loaded
+- ``pre_dense_cond`` exists in torch checkpoints but is dead weight (never
+  used in ``forward``, ref model.py:111); it is skipped, but still counted
+  when aligning EMA ``shadow_params`` (a plain list ordered by
+  ``model.parameters()``, ref ema.py:28-29).
+
+Native checkpoints use orbax (params/opt_state/EMA/step in one pytree).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Torch -> flax conversion
+# ---------------------------------------------------------------------------
+
+_GNORM_KEYS = {"weight": "scale", "bias": "bias"}
+
+
+def torch_parameter_order(n_blocks: int = 2, embedding_type: str = "positional") -> List[str]:
+    """Names of ScoreModelFC params in torch ``model.parameters()`` order
+    (attribute registration order), ``requires_grad`` only.
+
+    This order defines the alignment of EMA ``shadow_params`` lists.
+    """
+    names: List[str] = []
+
+    def linear(prefix):
+        names.extend([f"{prefix}.weight", f"{prefix}.bias"])
+
+    linear("pre_dense")
+    linear("pre_dense_t")
+    linear("pre_dense_cond")  # dead layer, still registered (ref model.py:111)
+    linear("pre_gnorm")  # GroupNorm also has weight+bias
+    # fourier gauss_proj.W is requires_grad=False -> excluded (ref model.py:17)
+    linear("shared_time_embed.0")
+    for idx in range(n_blocks):
+        for sub in ("dense1", "dense1_t", "gnorm1", "dense2", "dense2_t", "gnorm2"):
+            linear(f"b{idx + 1}_{sub}")
+    linear("post_dense")
+    return names
+
+
+def _to_numpy(t) -> np.ndarray:
+    # ALWAYS copy: torch .numpy() returns a view of torch-owned memory, and
+    # jax device_put on CPU may alias numpy buffers zero-copy. Combined with
+    # JAX async dispatch, a later in-place torch mutation (optimizer step,
+    # ema.copy_to) would corrupt the converted params.
+    if isinstance(t, np.ndarray):
+        return t.copy()
+    return t.detach().cpu().numpy().copy()  # torch tensor
+
+
+def _flax_name(torch_prefix: str) -> str:
+    return "shared_time_embed_0" if torch_prefix == "shared_time_embed.0" else torch_prefix
+
+
+def convert_score_model_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """torch ``model_state_dict`` -> flax ``params`` dict for ScoreModelFC."""
+    params: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for key, value in state_dict.items():
+        if key == "sigmas" or key.startswith("pre_dense_cond"):
+            continue
+        arr = np.asarray(_to_numpy(value), dtype=np.float32)
+        if key == "gauss_proj.W":
+            params.setdefault("gauss_proj", {})["W"] = jnp.asarray(arr)
+            continue
+        prefix, leaf = key.rsplit(".", 1)
+        name = _flax_name(prefix)
+        is_gnorm = "gnorm" in name
+        if is_gnorm:
+            params.setdefault(name, {})[_GNORM_KEYS[leaf]] = jnp.asarray(arr)
+        elif leaf == "weight":
+            params.setdefault(name, {})["kernel"] = jnp.asarray(arr.T)
+        elif leaf == "bias":
+            params.setdefault(name, {})["bias"] = jnp.asarray(arr)
+        else:
+            raise ValueError(f"unrecognized checkpoint entry: {key}")
+    return params
+
+
+def convert_ema_shadow_params(shadow_params: List[Any], n_blocks: int = 2,
+                              embedding_type: str = "positional") -> Dict[str, Any]:
+    """Ordered EMA shadow list -> flax params dict (same layout transforms)."""
+    order = torch_parameter_order(n_blocks, embedding_type)
+    if len(order) != len(shadow_params):
+        raise ValueError(
+            f"EMA shadow length {len(shadow_params)} != expected {len(order)} "
+            f"for n_blocks={n_blocks}")
+    state_dict = {name: tensor for name, tensor in zip(order, shadow_params)}
+    return convert_score_model_state_dict(state_dict)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Read a reference ``.pth`` checkpoint (requires torch, host-side only)."""
+    import torch  # local import: conversion is an offline host utility
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def convert_torch_checkpoint(path_or_dict, n_blocks: int = 2,
+                             embedding_type: str = "positional") -> Dict[str, Any]:
+    """Full checkpoint conversion.
+
+    Returns ``{'params', 'ema_params' (or None), 'step', 'ema_num_updates',
+    'ema_decay'}``.
+    """
+    ckpt = load_torch_checkpoint(path_or_dict) if isinstance(path_or_dict, (str, os.PathLike)) else path_or_dict
+    out: Dict[str, Any] = {
+        "params": convert_score_model_state_dict(ckpt["model_state_dict"]),
+        "step": int(ckpt.get("step", 0)),
+        "ema_params": None,
+        "ema_decay": None,
+        "ema_num_updates": None,
+    }
+    ema = ckpt.get("ema")
+    if ema is not None:
+        out["ema_params"] = convert_ema_shadow_params(
+            ema["shadow_params"], n_blocks=n_blocks, embedding_type=embedding_type)
+        out["ema_decay"] = float(ema["decay"])
+        out["ema_num_updates"] = None if ema["num_updates"] is None else int(ema["num_updates"])
+    return out
+
+
+def load_params_for_inference(path: str, n_blocks: int = 2,
+                              embedding_type: str = "positional",
+                              use_ema: bool = True) -> Tuple[Dict[str, Any], int]:
+    """Load a checkpoint (torch ``.pth`` or native orbax dir) and return the
+    inference params (EMA-averaged when available, matching ref
+    ``run/demo.py:114-118``) plus the training step."""
+    if os.path.isdir(path):
+        state = restore_train_state(path)
+        params = state["ema"]["shadow_params"] if (use_ema and state.get("ema")) else state["params"]
+        return params, int(state.get("step", 0))
+    cv = convert_torch_checkpoint(path, n_blocks=n_blocks, embedding_type=embedding_type)
+    params = cv["ema_params"] if (use_ema and cv["ema_params"] is not None) else cv["params"]
+    return params, cv["step"]
+
+
+# ---------------------------------------------------------------------------
+# Native orbax checkpoints
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, state: Dict[str, Any]) -> None:
+    """Save a train-state pytree (params/opt_state/ema/step) with orbax."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+
+
+def restore_train_state(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path, item=target)
