@@ -1,0 +1,154 @@
+"""Sampler correctness with analytically-known scores.
+
+For Gaussian data N(m0, s0^2 I) the time-t marginal under VP/subVP is
+N(a_t m0, (a_t^2 s0^2 + std_t^2) I) with (a_t, std_t) from marginal_prob, so
+the exact score is available in closed form. A correct sampler must map the
+prior onto the data distribution.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dposer_tpu.diffusion import sampling as sampling_lib
+from dposer_tpu.diffusion import sde as sde_lib
+from dposer_tpu.diffusion.likelihood import get_likelihood_fn
+
+M0, S0 = 0.7, 0.6
+DIM = 4
+BATCH = 4000
+
+
+def gaussian_score(sde):
+    def score_fn(x, t):
+        a_t, std_t = sde.marginal_prob(jnp.ones_like(x), jnp.atleast_1d(t))
+        a = a_t[..., 0] if a_t.ndim == x.ndim else a_t
+        var = (a * S0) ** 2 + std_t ** 2
+        return -(x - a[..., None] * M0) / var[..., None] if a.ndim == x.ndim - 1 \
+            else -(x - a * M0) / var
+
+    return score_fn
+
+
+@pytest.mark.parametrize("sde", [sde_lib.VPSDE(N=1000), sde_lib.SubVPSDE(N=1000)])
+def test_pc_em_sampler_matches_target_gaussian(sde):
+    sampler = sampling_lib.get_pc_sampler(
+        sde, (BATCH, DIM), gaussian_score(sde), predictor="euler_maruyama",
+        corrector="none", denoise=True, eps=1e-3)
+    _, x = sampler(jax.random.PRNGKey(0))
+    x = np.asarray(x)
+    assert abs(x.mean() - M0) < 0.02
+    assert abs(x.std() - S0) < 0.02
+
+
+def test_pc_langevin_corrector():
+    sde = sde_lib.SubVPSDE(N=200)
+    sampler = sampling_lib.get_pc_sampler(
+        sde, (2000, DIM), gaussian_score(sde), predictor="euler_maruyama",
+        corrector="langevin", snr=0.16, n_steps=1, denoise=True, eps=1e-3)
+    _, x = sampler(jax.random.PRNGKey(1))
+    x = np.asarray(x)
+    assert abs(x.mean() - M0) < 0.03
+    assert abs(x.std() - S0) < 0.03
+
+
+def test_reverse_diffusion_predictor():
+    sde = sde_lib.VPSDE(N=500)
+    sampler = sampling_lib.get_pc_sampler(
+        sde, (2000, DIM), gaussian_score(sde), predictor="reverse_diffusion",
+        corrector="none", denoise=True, eps=1e-3)
+    _, x = sampler(jax.random.PRNGKey(2))
+    x = np.asarray(x)
+    assert abs(x.mean() - M0) < 0.03
+    assert abs(x.std() - S0) < 0.03
+
+
+def test_ancestral_predictor_vp():
+    sde = sde_lib.VPSDE(N=500)
+    sampler = sampling_lib.get_pc_sampler(
+        sde, (2000, DIM), gaussian_score(sde), predictor="ancestral_sampling",
+        corrector="none", denoise=True, eps=1e-3)
+    _, x = sampler(jax.random.PRNGKey(3))
+    x = np.asarray(x)
+    assert abs(x.mean() - M0) < 0.03
+    assert abs(x.std() - S0) < 0.05
+
+
+def test_imputation_pins_observed_dims():
+    sde = sde_lib.SubVPSDE(N=500)
+    key = jax.random.PRNGKey(4)
+    observation = jnp.tile(jnp.asarray([[1.0, -0.5, 0.3, 0.9]]), (256, 1))
+    mask = jnp.tile(jnp.asarray([[1.0, 1.0, 0.0, 0.0]]), (256, 1))
+    sampler = sampling_lib.get_pc_sampler(
+        sde, (256, DIM), gaussian_score(sde), predictor="euler_maruyama",
+        corrector="none", denoise=True, eps=1e-3, imputation=True)
+    _, x = sampler(key, observation=observation, mask=mask)
+    x = np.asarray(x)
+    # observed dims track the observation closely at t=eps; free dims sample
+    assert np.abs(x[:, :2] - np.asarray(observation[:, :2])).mean() < 0.05
+    assert np.abs(x[:, 2:].std(0) - S0).max() < 0.1
+
+
+def test_trajectory_collection():
+    sde = sde_lib.VPSDE(N=50)
+    sampler = sampling_lib.get_pc_sampler(
+        sde, (8, DIM), gaussian_score(sde), return_trajectory=True)
+    trajs, x = sampler(jax.random.PRNGKey(5))
+    assert trajs.shape == (50, 8, DIM)
+    np.testing.assert_allclose(np.asarray(trajs[-1]).mean(), np.asarray(x).mean(), atol=0.2)
+
+
+def test_start_step_partial_denoise():
+    sde = sde_lib.SubVPSDE(N=100)
+    sampler = sampling_lib.get_pc_sampler(
+        sde, (16, DIM), gaussian_score(sde), start_step=90, denoise=True)
+    z = jnp.full((16, DIM), 0.5)
+    _, x = sampler(jax.random.PRNGKey(6), z=z)
+    # only 10 low-noise steps from a clean-ish init: output stays near init
+    assert np.abs(np.asarray(x) - 0.5).mean() < 0.3
+
+
+def test_ode_sampler_matches_target_gaussian():
+    sde = sde_lib.SubVPSDE(N=1000)
+    sampler = sampling_lib.get_ode_sampler(
+        sde, (BATCH, DIM), gaussian_score(sde), denoise=False, eps=1e-3)
+    nfe, x = sampler(jax.random.PRNGKey(7))
+    x = np.asarray(x)
+    assert abs(x.mean() - M0) < 0.02
+    assert abs(x.std() - S0) < 0.02
+    assert 20 < int(nfe) < 2000
+
+
+def test_likelihood_exact_for_gaussian():
+    """With the exact score, PF-ODE likelihood must equal the analytic
+    Gaussian log-density (the strongest end-to-end check of the machinery)."""
+    sde = sde_lib.VPSDE(N=1000)
+    key = jax.random.PRNGKey(8)
+    data = M0 + S0 * jax.random.normal(key, (64, DIM))
+    lik_fn = get_likelihood_fn(sde, gaussian_score(sde), eps=1e-5)
+    bpd, z, nfe = lik_fn(jax.random.PRNGKey(9), data)
+    analytic_logp = -0.5 * (np.sum((np.asarray(data) - M0) ** 2 / S0 ** 2, axis=1)
+                            + DIM * np.log(2 * np.pi * S0 ** 2))
+    analytic_bpd = -analytic_logp / np.log(2) / DIM
+    # Hutchinson is exact in expectation; for a linear drift (Gaussian case)
+    # the jvp trace estimate has variance only across eps draws -> average
+    np.testing.assert_allclose(np.asarray(bpd).mean(), analytic_bpd.mean(), rtol=0.02)
+
+
+def test_config_dispatch():
+    import ml_collections
+
+    config = ml_collections.ConfigDict()
+    config.sampling = ml_collections.ConfigDict()
+    config.sampling.method = "pc"
+    config.sampling.predictor = "euler_maruyama"
+    config.sampling.corrector = "none"
+    config.sampling.snr = 0.16
+    config.sampling.n_steps_each = 1
+    config.sampling.probability_flow = False
+    config.sampling.noise_removal = True
+    sde = sde_lib.SubVPSDE(N=20)
+    fn = sampling_lib.get_sampling_fn(config, sde, (4, DIM), gaussian_score(sde),
+                                      inverse_scaler=lambda x: x * 2, eps=1e-3)
+    _, x = fn(jax.random.PRNGKey(0))
+    assert x.shape == (4, DIM)
