@@ -1,0 +1,63 @@
+"""Synthetic SMPL-family model files for body-model tests.
+
+Real SMPL-X releases are license-gated and absent from this environment; the
+LBS math is validated on randomly generated models with the exact on-disk
+layout of the releases.
+"""
+import numpy as np
+
+
+def make_synthetic_body_model(path, model_type="smplx", n_verts=120, seed=0):
+    rng = np.random.default_rng(seed)
+    n_joints = {"smpl": 24, "smplh": 52, "smplx": 55}[model_type]
+
+    v_template = rng.normal(size=(n_verts, 3)).astype(np.float32)
+
+    if model_type == "smplx":
+        shapedirs = np.zeros((n_verts, 3, 400), np.float32)
+        shapedirs[:, :, :10] = 0.05 * rng.normal(size=(n_verts, 3, 10))
+        shapedirs[:, :, 300:310] = 0.01 * rng.normal(size=(n_verts, 3, 10))
+    else:
+        shapedirs = 0.05 * rng.normal(size=(n_verts, 3, 10)).astype(np.float32)
+
+    posedirs = 0.001 * rng.normal(size=(n_verts, 3, (n_joints - 1) * 9)).astype(np.float32)
+
+    # joints = averages of distinct vertex groups
+    J_regressor = np.zeros((n_joints, n_verts), np.float32)
+    group = rng.integers(0, n_joints, size=n_verts)
+    for j in range(n_joints):
+        members = np.where(group == j)[0]
+        if len(members) == 0:
+            members = np.array([j % n_verts])
+        J_regressor[j, members] = 1.0 / len(members)
+
+    # soft skinning weights biased to each vertex's group joint
+    weights = rng.random((n_verts, n_joints)).astype(np.float32) * 0.1
+    weights[np.arange(n_verts), group] += 1.0
+    weights /= weights.sum(1, keepdims=True)
+
+    # kinematic chain: parent[j] < j, random but tree-shaped
+    parents = np.zeros(n_joints, np.int64)
+    parents[0] = 2 ** 32 - 1  # root marker as in releases
+    for j in range(1, n_joints):
+        parents[j] = rng.integers(0, j)
+    kintree_table = np.stack([parents, np.arange(n_joints)], 0)
+
+    faces = rng.integers(0, n_verts, size=(64, 3)).astype(np.int32)
+
+    data = dict(v_template=v_template, shapedirs=shapedirs, posedirs=posedirs,
+                J_regressor=J_regressor, weights=weights,
+                kintree_table=kintree_table, f=faces)
+    if model_type == "smplx":
+        data["lmk_faces_idx"] = rng.integers(0, 64, size=51).astype(np.int32)
+        bary = rng.random((51, 3)).astype(np.float32)
+        data["lmk_bary_coords"] = (bary / bary.sum(1, keepdims=True)).astype(np.float32)
+    np.savez(path, **data)
+
+    # per-model vertex-id table valid for the small vertex count
+    vertex_ids = {name: int(rng.integers(0, n_verts)) for name in [
+        "nose", "reye", "leye", "rear", "lear",
+        "LBigToe", "LSmallToe", "LHeel", "RBigToe", "RSmallToe", "RHeel",
+        "lthumb", "lindex", "lmiddle", "lring", "lpinky",
+        "rthumb", "rindex", "rmiddle", "rring", "rpinky"]}
+    return str(path), vertex_ids

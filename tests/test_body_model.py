@@ -1,0 +1,121 @@
+"""JAX SMPL-X invariants: blendshapes, FK chain, LBS, landmark assembly."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dposer_tpu.body_model.smplx_jax import BodyModel, lbs, load_body_model_npz
+from dposer_tpu.ops.rotations import axis_angle_to_matrix
+
+from fixtures import make_synthetic_body_model
+
+
+@pytest.fixture(scope="module")
+def smplx_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("bm") / "SMPLX_NEUTRAL.npz"
+    return make_synthetic_body_model(p, "smplx")
+
+
+@pytest.fixture(scope="module")
+def bm(smplx_file):
+    path, vids = smplx_file
+    return BodyModel(path, num_betas=10, model_type="smplx", vertex_ids=vids)
+
+
+def test_zero_pose_is_template(bm):
+    out = bm(pose_body=jnp.zeros((2, 63)))
+    np.testing.assert_allclose(np.asarray(out.v[0]), np.asarray(bm.model.v_template),
+                               atol=1e-5)
+    expect_j = np.asarray(bm.model.J_regressor) @ np.asarray(bm.model.v_template)
+    np.testing.assert_allclose(np.asarray(out.Jtr[0, :55]), expect_j, atol=1e-5)
+
+
+def test_jtr_layout_127(bm):
+    out = bm(pose_body=jnp.zeros((1, 63)))
+    assert out.Jtr.shape == (1, 127, 3)  # 55 joints + 21 extra + 51 landmarks
+    assert out.v.shape[1] == 120
+    assert out.body_joints.shape == (1, 22, 3)
+
+
+def test_betas_blendshape_exact(bm, rng):
+    betas = jnp.asarray(rng.normal(size=(3, 10)).astype(np.float32))
+    out = bm(pose_body=jnp.zeros((3, 63)), betas=betas)
+    sd = np.asarray(bm.model.shapedirs)[:, :, :10]
+    expect = np.asarray(bm.model.v_template)[None] + np.einsum("bs,vcs->bvc",
+                                                               np.asarray(betas), sd)
+    np.testing.assert_allclose(np.asarray(out.v), expect, atol=1e-5)
+
+
+def test_global_rotation_about_pelvis(bm, rng):
+    aa = rng.normal(size=3).astype(np.float32) * 0.7
+    R = np.asarray(axis_angle_to_matrix(jnp.asarray(aa)))
+    rest = bm(pose_body=jnp.zeros((1, 63)))
+    rot = bm(pose_body=jnp.zeros((1, 63)),
+             root_orient=jnp.asarray(aa)[None])
+    pelvis = np.asarray(rest.Jtr[0, 0])
+    expect = (np.asarray(rest.v[0]) - pelvis) @ R.T + pelvis
+    np.testing.assert_allclose(np.asarray(rot.v[0]), expect, atol=1e-4)
+
+
+def test_translation_shifts_everything(bm):
+    t = jnp.asarray([[0.5, -1.0, 2.0]])
+    rest = bm(pose_body=jnp.zeros((1, 63)))
+    moved = bm(pose_body=jnp.zeros((1, 63)), trans=t)
+    np.testing.assert_allclose(np.asarray(moved.v), np.asarray(rest.v) + np.asarray(t)[:, None],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(moved.Jtr), np.asarray(rest.Jtr) + np.asarray(t)[:, None],
+                               atol=1e-5)
+
+
+def test_fk_chain_vs_numpy_reference(bm, rng):
+    """Posed joints must match an independent numpy forward-kinematics."""
+    pose = (rng.normal(size=(1, 55 * 3)) * 0.3).astype(np.float32)
+    out_v, out_j = lbs(jnp.zeros((1, 20)), jnp.asarray(pose), bm.model)
+
+    # numpy FK
+    model = bm.model
+    v_shaped = np.asarray(model.v_template)
+    j_rest = np.asarray(model.J_regressor) @ v_shaped  # [55, 3]
+    R = np.asarray(axis_angle_to_matrix(jnp.asarray(pose.reshape(55, 3))))
+    parents = np.asarray(model.parents)
+    G = np.zeros((55, 4, 4))
+    for j in range(55):
+        T = np.eye(4)
+        T[:3, :3] = R[j]
+        T[:3, 3] = j_rest[j] - (j_rest[parents[j]] if j > 0 else 0)
+        G[j] = T if j == 0 else G[parents[j]] @ T
+    np.testing.assert_allclose(np.asarray(out_j[0]), G[:, :3, 3], atol=1e-4)
+
+
+def test_gradients_flow_through_pose(bm):
+    def loss(pose_body):
+        out = bm(pose_body=pose_body)
+        return jnp.sum(out.v ** 2) + jnp.sum(out.Jtr ** 2)
+
+    g = jax.grad(loss)(jnp.full((2, 63), 0.1))
+    assert g.shape == (2, 63)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_expression_affects_smplx_only(bm, rng):
+    expr = jnp.asarray(rng.normal(size=(1, 10)).astype(np.float32))
+    rest = bm(pose_body=jnp.zeros((1, 63)))
+    exprd = bm(pose_body=jnp.zeros((1, 63)), expression=expr)
+    assert not np.allclose(np.asarray(rest.v), np.asarray(exprd.v))
+
+
+def test_smpl_variant(tmp_path, rng):
+    path, vids = make_synthetic_body_model(tmp_path / "SMPL_NEUTRAL.npz", "smpl")
+    bm = BodyModel(path, model_type="smpl", vertex_ids=vids)
+    # SMPL body pose spans 23 joints: zero-pad 63 -> 69 (ref run/demo.py:146-161)
+    out = bm(pose_body=jnp.zeros((2, 69)))
+    assert out.Jtr.shape == (2, 24 + 21, 3)  # no face landmarks for SMPL
+
+
+def test_hand_pose_smplx(bm, rng):
+    hands = jnp.asarray((rng.normal(size=(1, 90)) * 0.2).astype(np.float32))
+    rest = bm(pose_body=jnp.zeros((1, 63)))
+    handed = bm(pose_body=jnp.zeros((1, 63)), pose_hand=hands)
+    assert not np.allclose(np.asarray(rest.v), np.asarray(handed.v))
+    assert handed.pose_hand.shape == (1, 90)

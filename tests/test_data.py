@@ -1,0 +1,137 @@
+"""Data layer: normalizer parity with checked-in reference stats + dataset."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dposer_tpu.body_model.part_indices import BodyPartIndices
+from dposer_tpu.data.amass import AMASSDataset, PoseNormalizer, N_POSES
+from dposer_tpu.utils.masks import create_mask, part_mask_indices
+
+REF_STATS = "/root/reference/data/AMASS/amass_processed/version1/train"
+
+
+@pytest.fixture(scope="module")
+def ref_stats_available(torch):
+    if not os.path.exists(os.path.join(REF_STATS, "axis_normalize2.pt")):
+        pytest.skip("reference stats not present")
+    return True
+
+
+def test_normalizer_zscore_roundtrip(ref_stats_available, rng):
+    nz = PoseNormalizer(REF_STATS, normalize=True, min_max=False, rot_rep="axis")
+    poses = rng.normal(size=(32, 63)).astype(np.float32) * 0.4
+    normed = nz.offline_normalize(jnp.asarray(poses))
+    denormed = nz.offline_denormalize(normed)
+    np.testing.assert_allclose(np.asarray(denormed), poses, atol=1e-5)
+    # matches the raw formula with the reference's stats file
+    import torch
+
+    stats = torch.load(os.path.join(REF_STATS, "axis_normalize2.pt"), weights_only=False)
+    expect = (poses - stats["mean_poses"].numpy()) / stats["std_poses"].numpy()
+    np.testing.assert_allclose(np.asarray(normed), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_normalizer_minmax_roundtrip(ref_stats_available, rng):
+    nz = PoseNormalizer(REF_STATS, normalize=True, min_max=True, rot_rep="axis")
+    poses = rng.normal(size=(16, 63)).astype(np.float32) * 0.3
+    rt = nz.offline_denormalize(nz.offline_normalize(jnp.asarray(poses)))
+    np.testing.assert_allclose(np.asarray(rt), poses, atol=1e-5)
+
+
+def test_normalizer_rot6d_axis_conversion(ref_stats_available, rng):
+    nz = PoseNormalizer(REF_STATS, normalize=True, min_max=False, rot_rep="rot6d")
+    aa = (rng.normal(size=(8, 63)) * 0.4).astype(np.float32)
+    normed = nz.offline_normalize(jnp.asarray(aa), from_axis=True)
+    assert normed.shape == (8, 126)
+    back = nz.offline_denormalize(normed, to_axis=True)
+    np.testing.assert_allclose(np.asarray(back), aa, atol=2e-4)
+
+
+def test_normalizer_time_batch_shapes(ref_stats_available, rng):
+    nz = PoseNormalizer(REF_STATS, normalize=True, min_max=False, rot_rep="axis")
+    poses = rng.normal(size=(5, 4, 63)).astype(np.float32)
+    normed = nz.offline_normalize(jnp.asarray(poses))
+    assert normed.shape == (5, 4, 63)
+    rt = nz.offline_denormalize(normed)
+    np.testing.assert_allclose(np.asarray(rt), poses, atol=1e-5)
+
+
+@pytest.fixture()
+def toy_dataset(tmp_path, torch, rng):
+    """A synthetic on-disk dataset in the reference layout."""
+    root = tmp_path / "amass"
+    for subset, n in [("train", 200), ("valid", 40), ("test", 40)]:
+        d = root / "version1" / subset
+        d.mkdir(parents=True)
+        torch.save(torch.from_numpy(rng.normal(size=(n, 63)).astype(np.float32) * 0.5),
+                   d / "pose_body.pt")
+        torch.save(torch.from_numpy(rng.normal(size=(n, 10)).astype(np.float32)),
+                   d / "betas.pt")
+    return str(root)
+
+
+def test_dataset_zscore_stats_and_batches(toy_dataset):
+    ds = AMASSDataset(toy_dataset, version="version1", subset="train",
+                      rot_rep="axis", normalize=True, min_max=False)
+    assert ds.poses.shape[1] == 63
+    # normalized train split must be ~N(0,1) per-dim
+    np.testing.assert_allclose(ds.poses.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(ds.poses.std(0, ddof=1), 1.0, atol=1e-4)
+    # stats cache written -> test split reuses train stats
+    ds_test = AMASSDataset(toy_dataset, version="version1", subset="test",
+                           rot_rep="axis", normalize=True, min_max=False)
+    assert os.path.exists(os.path.join(toy_dataset, "version1", "train", "axis_normalize2.npz"))
+    it = ds_test.train_batches(16, seed=0)
+    b = next(it)
+    assert b.shape == (16, 63)
+    # denormalize inverts
+    rt = ds_test.Denormalize(jnp.asarray(ds_test.poses[:8]))
+    raw = AMASSDataset(toy_dataset, version="version1", subset="test",
+                       rot_rep="axis", normalize=False).poses[:8]
+    np.testing.assert_allclose(np.asarray(rt), raw, atol=1e-5)
+
+
+def test_dataset_rot6d_and_sampling(toy_dataset):
+    ds = AMASSDataset(toy_dataset, version="version1", subset="valid",
+                      rot_rep="rot6d", normalize=False, sample_interval=2)
+    assert ds.poses.shape == (20, 126)
+
+
+def test_dataset_shapes_returned(toy_dataset):
+    ds = AMASSDataset(toy_dataset, version="version1", subset="train",
+                      rot_rep="axis", normalize=True, min_max=False, return_shape=True)
+    item = ds[0]
+    assert item["poses"].shape == (63,) and item["shapes"].shape == (10,)
+
+
+def test_body_part_indices_match_reference_values():
+    """Frozen expectations from the canonical SMPL-X joint order
+    (ref lib/body_model/utils.py:39-47)."""
+    assert BodyPartIndices.left_leg == [0, 3, 6, 9]
+    assert BodyPartIndices.right_leg == [1, 4, 7, 10]
+    assert BodyPartIndices.left_arm == [12, 15, 17, 19]
+    assert BodyPartIndices.right_arm == [13, 16, 18, 20]
+    assert BodyPartIndices.trunk == [2, 5, 8, 15, 16]
+    assert BodyPartIndices.hands == [19, 20]
+    assert BodyPartIndices.legs == [0, 1, 3, 4, 6, 7, 9, 10]
+    assert BodyPartIndices.arms == [12, 13, 15, 16, 17, 18, 19, 20]
+
+
+def test_create_mask(rng):
+    poses = jnp.asarray(rng.normal(size=(6, 63)).astype(np.float32))
+    mask, obs = create_mask(jax.random.PRNGKey(0), poses, part="legs")
+    idx = part_mask_indices("legs", 3)
+    assert mask.shape == poses.shape and obs.shape == poses.shape
+    np.testing.assert_array_equal(np.asarray(mask[:, idx]), 0.0)
+    keep = np.setdiff1d(np.arange(63), idx)
+    np.testing.assert_array_equal(np.asarray(mask[:, keep]), 1.0)
+    # observed dims keep the data, masked dims are replaced
+    np.testing.assert_allclose(np.asarray(obs[:, keep]), np.asarray(poses[:, keep]))
+    assert not np.allclose(np.asarray(obs[:, idx]), np.asarray(poses[:, idx]))
+    # rot6d width
+    poses6 = jnp.asarray(rng.normal(size=(4, 126)).astype(np.float32))
+    mask6, _ = create_mask(jax.random.PRNGKey(1), poses6, part="right_arm")
+    assert float(mask6.sum()) == 4 * (126 - 4 * 6)
