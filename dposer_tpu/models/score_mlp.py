@@ -144,6 +144,19 @@ class TimeMLPs(nn.Module):
         return nn.Dense(self.n_poses * self.pose_dim, name="dense_out")(h)
 
 
+def make_model_apply(model: nn.Module):
+    """Standard raw-network apply closure for the loss/step builders:
+    ``model_apply(params, x, labels, key, train) -> out``."""
+
+    def model_apply(params, x, labels, key=None, train=False):
+        if train:
+            return model.apply({"params": params}, x, labels, train=True,
+                               rngs={"dropout": key})
+        return model.apply({"params": params}, x, labels)
+
+    return model_apply
+
+
 def create_score_model(config, n_poses: int = 21) -> nn.Module:
     """Build the score model described by an ml_collections config
     (mirrors construction at ref run/train.py:154-174)."""

@@ -1,1 +1,1 @@
-from . import rotations, smoothing
+from . import metrics, rotations, smoothing

@@ -1,0 +1,95 @@
+"""Device-mesh sharding utilities (data-parallel training & sharded eval).
+
+TPU-native replacement for the reference's parallelism (SURVEY §2.7):
+
+- the vestigial ``torch.nn.DataParallel`` (ref lib/algorithms/advanced/
+  utils.py:91) and the gloo multi-process eval (ref run/completion.py:83-88,
+  300-321) both collapse into GSPMD: one program, a ``jax.sharding.Mesh``
+  over all chips, batch-dim ``NamedSharding``; XLA inserts the gradient
+  psums / result all-gathers over ICI automatically.
+- multi-host extends the same code via ``jax.distributed.initialize`` — no
+  NCCL/gloo analog needed.
+
+Everything here is topology-agnostic: tested on a virtual 8-device CPU mesh,
+runs unchanged on a TPU slice.
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = (DATA_AXIS,),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """A 1-D (default) or reshaped mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()[: (n_devices or len(jax.devices()))]
+    if shape is None:
+        shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devs).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch) -> jax.Array:
+    """Place a host batch onto the mesh, split along dim 0."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def data_parallel_step(step_fn: Callable, mesh: Mesh) -> Callable:
+    """Compile ``step_fn(state, key, batch) -> (state, aux)`` data-parallel.
+
+    State & key replicated, batch sharded along dim 0; XLA handles the
+    cross-chip gradient reduction. Batch size must divide the mesh size.
+    """
+    repl = replicate(mesh)
+    return jax.jit(step_fn,
+                   in_shardings=(repl, repl, batch_sharding(mesh)),
+                   out_shardings=(repl, repl))
+
+
+def data_parallel_sampler(sampler: Callable, mesh: Mesh) -> Callable:
+    """Wrap a built sampler so its outputs are sharded along the batch dim.
+
+    The sampler's shape is fixed at build time; sharding its internALS comes
+    free via GSPMD once inputs/outputs are annotated.
+    """
+    repl = replicate(mesh)
+    out_shard = NamedSharding(mesh, P(None))  # final gather to replicated
+
+    def run(key, **kwargs):
+        return jax.jit(lambda k: sampler(k, **kwargs),
+                       in_shardings=(repl,), out_shardings=None)(key)
+
+    return run
+
+
+def shard_eval_batches(dataset_len: int, batch_size: int,
+                       process_index: Optional[int] = None,
+                       process_count: Optional[int] = None) -> range:
+    """Contiguous per-process shard of batch indices for multi-host eval.
+
+    Single-program replacement for ``DistributedEvalSampler``
+    (ref lib/dataset/EvaSampler.py:88-111): contiguous shards, no padding.
+    Within one host, all devices cooperate on each batch via batch sharding,
+    so only multi-host (process) sharding needs an explicit split.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    n_batches = dataset_len // batch_size
+    per = n_batches // pc
+    extra = n_batches % pc
+    start = pi * per + min(pi, extra)
+    stop = start + per + (1 if pi < extra else 0)
+    return range(start, stop)

@@ -1,0 +1,99 @@
+"""Pose completion by test-time optimization (DPoserComp).
+
+Capability parity with ref ``run/completion.py:95-207`` — but the whole
+2x100-step Adam loop is ONE ``lax.scan`` inside jit, and multiple hypotheses
+run via ``vmap`` instead of the reference's sequential Python loop
+(ref completion.py:284-287).
+
+Faithful details:
+- per-iteration loss weights ``data: 100/(1+it)``, ``dposer: 0.1*(it+1)``
+  with ``it = step // steps_per_iter`` (ref :151-155, :178-180)
+- time strategy '3' truncated annealing with offset 2 (ref :189-191)
+- the reference passes ``quan_t`` as the ``weighted`` flag of the loss
+  (ref :196 — a nonzero tensor, so the SNR-weighted branch is ALWAYS taken
+  during completion); we mirror that with ``weighted=True``
+- final paste of observed dims: ``obs*mask + x*(1-mask)`` (ref :205)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.sde import SDE
+from .prior import DPoserPrior, sample_quan_t
+
+
+class DPoserComp:
+    """Completion solver: observation + mask -> completed poses."""
+
+    def __init__(self, sde: SDE, score_fn: Callable, continuous: bool = True,
+                 batch_size: Optional[int] = None, lr: float = 0.1,
+                 iterations: int = 2, steps_per_iter: int = 100,
+                 time_strategy: str = "3", sample_trun: float = 5.0,
+                 sample_time: int = 900):
+        self.sde = sde
+        self.prior = DPoserPrior(sde, score_fn)
+        self.lr = lr
+        self.iterations = iterations
+        self.steps_per_iter = steps_per_iter
+        self.total_steps = iterations * steps_per_iter
+        self.time_strategy = time_strategy
+        self.sample_trun = sample_trun
+        self.sample_time = sample_time
+        self._optimize = jax.jit(self._optimize_impl)
+        self._optimize_hypos = jax.jit(jax.vmap(self._optimize_impl,
+                                                in_axes=(0, None, None)))
+
+    # -- loss -----------------------------------------------------------------
+    def _loss(self, x, key, t, observation, mask):
+        vec_t = jnp.full((x.shape[0],), t, x.dtype)
+        # ref completion.py:196 passes quan_t as `weighted` -> truthy
+        dposer = self.prior.loss(key, x, vec_t, weighted=True, reduction="mean")
+        data = jnp.mean((x * mask - observation * mask) ** 2)
+        return dposer, data
+
+    # -- solver ---------------------------------------------------------------
+    def _optimize_impl(self, key, observation, mask):
+        opt = optax.adam(self.lr, b1=0.9, b2=0.999)
+        x0 = observation
+        opt_state = opt.init(x0)
+        timesteps = self.prior.timesteps
+
+        def step(carry, i):
+            x, opt_state = carry
+            k_t, k_z = jax.random.split(jax.random.fold_in(key, i))
+            it = i // self.steps_per_iter
+            quan_t = sample_quan_t(k_t, i, self.total_steps, self.sde.N,
+                                   self.time_strategy, self.sample_trun,
+                                   self.sample_time, offset=2)
+            t = timesteps[quan_t]
+
+            def total_loss(xv):
+                dposer, data = self._loss(xv, k_z, t, observation, mask)
+                # weights: data 100/(1+it), dposer 0.1*(it+1) (ref :151-155)
+                return 100.0 / (1.0 + it) * data + 0.1 * (it + 1.0) * dposer
+
+            grads = jax.grad(total_loss)(x)
+            updates, opt_state = opt.update(grads, opt_state, x)
+            x = optax.apply_updates(x, updates)
+            return (x, opt_state), None
+
+        (x, _), _ = jax.lax.scan(step, (x0, opt_state),
+                                 jnp.arange(self.total_steps, dtype=jnp.int32))
+        return observation * mask + x * (1.0 - mask)
+
+    def optimize(self, key: jax.Array, observation: jnp.ndarray, mask: jnp.ndarray):
+        """One completion pass. observation/mask: [B, D]."""
+        return self._optimize(key, observation, mask)
+
+    def optimize_hypos(self, key: jax.Array, observation: jnp.ndarray,
+                       mask: jnp.ndarray, hypo: int):
+        """vmap over hypotheses -> [B, hypo, D] (replaces the reference's
+        sequential hypothesis loop, ref completion.py:284-287)."""
+        keys = jax.random.split(key, hypo)
+        outs = self._optimize_hypos(keys, observation, mask)  # [hypo, B, D]
+        return jnp.swapaxes(outs, 0, 1)

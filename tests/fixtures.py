@@ -61,3 +61,21 @@ def make_synthetic_body_model(path, model_type="smplx", n_verts=120, seed=0):
         "lthumb", "lindex", "lmiddle", "lring", "lpinky",
         "rthumb", "rindex", "rmiddle", "rring", "rpinky"]}
     return str(path), vertex_ids
+
+
+def make_stats_dir(dirpath, dim=63, rng=None):
+    """Write identity-ish normalization stats in the reference layout (.npz)."""
+    import os
+
+    rng = rng or np.random.default_rng(0)
+    os.makedirs(dirpath, exist_ok=True)
+    mean = np.zeros(dim, np.float32)
+    std = np.ones(dim, np.float32)
+    np.savez(os.path.join(dirpath, "axis_normalize1.npz"),
+             min_poses=-np.ones(dim, np.float32) * 3,
+             max_poses=np.ones(dim, np.float32) * 3,
+             min_shapes=np.nan, max_shapes=np.nan)
+    np.savez(os.path.join(dirpath, "axis_normalize2.npz"),
+             mean_poses=mean, std_poses=std,
+             mean_shapes=np.nan, std_shapes=np.nan)
+    return str(dirpath)
