@@ -19,3 +19,17 @@ in PyTorch) as an idiomatic JAX/XLA stack:
 __version__ = "0.1.0"
 
 N_POSES = 21  # SMPL-X body joints modelled by the pose prior (ref lib/dataset/AMASS.py:9)
+
+# Opt-in backend override: some TPU plugins (axon) ignore JAX_PLATFORMS, so
+# DPOSER_PLATFORM=cpu forces the backend before first device use.
+import os as _os
+
+if _os.environ.get("DPOSER_PLATFORM"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["DPOSER_PLATFORM"])
+    except Exception:
+        pass
+
+from . import parallel  # noqa: E402,F401  (re-export for dposer_tpu.parallel)

@@ -1,0 +1,158 @@
+// Mesh self-intersection metric (native replacement for pymeshlab,
+// ref lib/utils/metric.py:41-89): percentage of faces intersecting at least
+// one non-adjacent face (faces sharing a vertex are excluded).
+//
+// Broad phase: uniform grid over the mesh AABB with per-cell face lists;
+// narrow phase: Möller tri-tri. C API for ctypes.
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+#include "tri_tri.h"
+
+namespace {
+
+using dposer::Real;
+using dposer::V3;
+
+struct AABB {
+  Real lo[3], hi[3];
+};
+
+inline bool aabb_overlap(const AABB &a, const AABB &b) {
+  for (int k = 0; k < 3; ++k)
+    if (a.hi[k] < b.lo[k] || b.hi[k] < a.lo[k]) return false;
+  return true;
+}
+
+int self_intersecting_faces(const float *verts, int n_verts, const int32_t *faces,
+                            int n_faces, uint8_t *flags) {
+  std::fill(flags, flags + n_faces, 0);
+  if (n_faces == 0) return 0;
+
+  std::vector<V3> v(n_verts);
+  for (int i = 0; i < n_verts; ++i)
+    v[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
+
+  std::vector<AABB> boxes(n_faces);
+  AABB mesh_box = {{1e30, 1e30, 1e30}, {-1e30, -1e30, -1e30}};
+  double mean_extent = 0.0;
+  for (int f = 0; f < n_faces; ++f) {
+    AABB &b = boxes[f];
+    for (int k = 0; k < 3; ++k) {
+      b.lo[k] = 1e30;
+      b.hi[k] = -1e30;
+    }
+    for (int j = 0; j < 3; ++j) {
+      const V3 &p = v[faces[3 * f + j]];
+      const Real c[3] = {p.x, p.y, p.z};
+      for (int k = 0; k < 3; ++k) {
+        b.lo[k] = std::min(b.lo[k], c[k]);
+        b.hi[k] = std::max(b.hi[k], c[k]);
+      }
+    }
+    for (int k = 0; k < 3; ++k) {
+      mesh_box.lo[k] = std::min(mesh_box.lo[k], b.lo[k]);
+      mesh_box.hi[k] = std::max(mesh_box.hi[k], b.hi[k]);
+      mean_extent += (b.hi[k] - b.lo[k]);
+    }
+  }
+  mean_extent /= (3.0 * n_faces);
+  if (mean_extent <= 0.0) mean_extent = 1e-6;
+
+  // grid resolution ~ mean face size; clamp cell count
+  int dims[3];
+  Real cell[3], origin[3];
+  for (int k = 0; k < 3; ++k) {
+    const Real extent = std::max(mesh_box.hi[k] - mesh_box.lo[k], (Real)1e-9);
+    int d = (int)std::ceil(extent / (2.0 * mean_extent));
+    dims[k] = std::min(std::max(d, 1), 128);
+    cell[k] = extent / dims[k];
+    origin[k] = mesh_box.lo[k];
+  }
+
+  const int n_cells = dims[0] * dims[1] * dims[2];
+  std::vector<std::vector<int>> grid(n_cells);
+  auto cell_range = [&](const AABB &b, int lo_i[3], int hi_i[3]) {
+    for (int k = 0; k < 3; ++k) {
+      lo_i[k] = std::min(std::max((int)((b.lo[k] - origin[k]) / cell[k]), 0), dims[k] - 1);
+      hi_i[k] = std::min(std::max((int)((b.hi[k] - origin[k]) / cell[k]), 0), dims[k] - 1);
+    }
+  };
+  for (int f = 0; f < n_faces; ++f) {
+    int lo_i[3], hi_i[3];
+    cell_range(boxes[f], lo_i, hi_i);
+    for (int x = lo_i[0]; x <= hi_i[0]; ++x)
+      for (int y = lo_i[1]; y <= hi_i[1]; ++y)
+        for (int z = lo_i[2]; z <= hi_i[2]; ++z)
+          grid[(x * dims[1] + y) * dims[2] + z].push_back(f);
+  }
+
+  auto shares_vertex = [&](int f, int g) {
+    for (int a = 0; a < 3; ++a)
+      for (int b = 0; b < 3; ++b)
+        if (faces[3 * f + a] == faces[3 * g + b]) return true;
+    return false;
+  };
+
+  int count = 0;
+  std::vector<int> last_checked(n_faces, -1);
+  for (int f = 0; f < n_faces; ++f) {
+    int lo_i[3], hi_i[3];
+    cell_range(boxes[f], lo_i, hi_i);
+    const V3 &a0 = v[faces[3 * f]];
+    const V3 &a1 = v[faces[3 * f + 1]];
+    const V3 &a2 = v[faces[3 * f + 2]];
+    bool hit = flags[f];
+    for (int x = lo_i[0]; x <= hi_i[0] && !hit; ++x)
+      for (int y = lo_i[1]; y <= hi_i[1] && !hit; ++y)
+        for (int z = lo_i[2]; z <= hi_i[2] && !hit; ++z) {
+          const auto &cellv = grid[(x * dims[1] + y) * dims[2] + z];
+          for (int g : cellv) {
+            if (g == f || last_checked[g] == f) continue;
+            last_checked[g] = f;
+            if (!aabb_overlap(boxes[f], boxes[g])) continue;
+            if (shares_vertex(f, g)) continue;
+            const V3 &b0 = v[faces[3 * g]];
+            const V3 &b1 = v[faces[3 * g + 1]];
+            const V3 &b2 = v[faces[3 * g + 2]];
+            if (dposer::tri_tri_intersect(a0, a1, a2, b0, b1, b2)) {
+              flags[g] = 1;  // mark partner too
+              hit = true;
+              break;
+            }
+          }
+        }
+    if (hit) flags[f] = 1;
+  }
+  for (int f = 0; f < n_faces; ++f) count += flags[f];
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+// verts: [n_batch, n_verts, 3] float32; faces: [n_faces, 3] int32;
+// out: [n_batch] float32 percentages.
+void self_intersections_percentage(const float *verts, int n_batch, int n_verts,
+                                   const int32_t *faces, int n_faces,
+                                   float *out) {
+  std::vector<uint8_t> flags(n_faces);
+  for (int b = 0; b < n_batch; ++b) {
+    const int si = self_intersecting_faces(verts + (size_t)b * n_verts * 3,
+                                           n_verts, faces, n_faces, flags.data());
+    out[b] = n_faces ? 100.0f * si / n_faces : 0.0f;
+  }
+}
+
+// Exposed for unit tests: 1 if the two triangles intersect.
+int tri_tri_test(const float *t1, const float *t2) {
+  auto mk = [](const float *p) -> V3 { return {p[0], p[1], p[2]}; };
+  return dposer::tri_tri_intersect(mk(t1), mk(t1 + 3), mk(t1 + 6), mk(t2),
+                                   mk(t2 + 3), mk(t2 + 6))
+             ? 1
+             : 0;
+}
+}

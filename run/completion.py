@@ -1,0 +1,117 @@
+"""Whole-AMASS-testset completion evaluation (ref ``run/completion.py``).
+
+TPU-native: the reference's process-per-GPU gloo machinery collapses to a
+single program — hypotheses run under ``vmap`` and every batch is
+data-parallel across local devices via GSPMD (multi-host shards the batch
+stream by ``jax.process_index``). The ``--gpus``/``--port`` flags are
+accepted for CLI compatibility and ignored.
+
+    python -m run.completion --config configs/subvp/amass_scorefc_continuous.py \
+        --ckpt-path ... --part right_arm --hypo 10 --sample 10 ...
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from absl import app, flags
+from absl.flags import argparse_flags
+from ml_collections.config_flags import config_flags
+
+FLAGS = flags.FLAGS
+config_flags.DEFINE_config_file(
+    "config", None, "Training configuration.", lock_config=False)
+flags.mark_flags_as_required(["config"])
+
+
+def parse_args(argv):
+    parser = argparse_flags.ArgumentParser(
+        description="test diffusion model for completion on whole AMASS")
+    parser.add_argument("--ckpt-path", type=str,
+                        default="./pretrained_models/axis-zscore-400k.pth")
+    parser.add_argument("--dataset-folder", type=str,
+                        default="../data/AMASS/amass_processed")
+    parser.add_argument("--version", type=str, default="version1")
+    parser.add_argument("--bodymodel-path", type=str,
+                        default="../body_models/smplx/SMPLX_NEUTRAL.npz")
+    parser.add_argument("--hypo", type=int, default=1)
+    parser.add_argument("--part", type=str, default="left_leg",
+                        choices=["left_leg", "right_leg", "left_arm", "right_arm",
+                                 "trunk", "hands", "legs", "arms"])
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--sample", type=int)
+    parser.add_argument("--batch_size", type=int, default=100)
+    parser.add_argument("--gpus", type=int, default=1,
+                        help="accepted for reference-CLI compatibility (unused; "
+                             "all local devices are used automatically)")
+    parser.add_argument("--port", type=str, default="14600", help="unused")
+    parser.add_argument("--seed", type=int, default=42)
+    return parser.parse_args(argv[1:])
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from dposer_tpu import parallel as par
+    from dposer_tpu.body_model.smplx_jax import BodyModel
+    from dposer_tpu.data import AMASSDataset
+    from dposer_tpu.ops.metrics import Evaler
+    from dposer_tpu.tasks import DPoserComp
+    from dposer_tpu.utils.masks import create_mask
+
+    from .common import build_normalizer, load_model_for_inference
+
+    config = FLAGS.config
+    key = jax.random.PRNGKey(args.seed)
+
+    model, params, sde, eps, score_fn = load_model_for_inference(
+        config, args.ckpt_path, sde_N=args.steps)
+    normalizer = build_normalizer(config, args.dataset_folder, args.version)
+
+    test_dataset = AMASSDataset(root_path=args.dataset_folder, version=args.version,
+                                subset="test", sample_interval=args.sample,
+                                rot_rep=config.data.rot_rep, return_shape=False,
+                                normalize=config.data.normalize,
+                                min_max=config.data.min_max)
+    body_model = BodyModel(bm_path=args.bodymodel_path, num_betas=10,
+                           batch_size=args.batch_size, model_type="smplx")
+    print(f"total samples with reduction: {len(test_dataset)}")
+
+    compfn = DPoserComp(sde, score_fn, config.training.continuous)
+    evaler = Evaler(body_model=body_model, part=args.part)
+
+    batch_range = par.shard_eval_batches(len(test_dataset), args.batch_size)
+    collected = {"mpvpe_all": [], "mpjpe_body": []}
+    batches = list(test_dataset.eval_batches(args.batch_size))
+    for bi in batch_range:
+        poses = jnp.asarray(batches[bi])
+        key, km, ko = jax.random.split(key, 3)
+        mask, observation = create_mask(km, poses, part=args.part)
+        multihypo = compfn.optimize_hypos(ko, observation, mask, args.hypo)
+
+        preds = normalizer.offline_denormalize(multihypo, to_axis=True)
+        gts = normalizer.offline_denormalize(poses, to_axis=True)
+        res = evaler.multi_eval_bodys(preds, gts)
+        collected["mpvpe_all"].extend(res["mpvpe_all"].tolist())
+        collected["mpjpe_body"].extend(res["mpjpe_body"].tolist())
+        print(f"batch {bi}: mpvpe {np.mean(res['mpvpe_all']):.2f} "
+              f"mpjpe {np.mean(res['mpjpe_body']):.2f}")
+
+    # multi-host: gather via process_allgather when distributed
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        for k in collected:
+            arr = np.asarray(collected[k], np.float32)
+            gathered = multihost_utils.process_allgather(arr)
+            collected[k] = np.concatenate(gathered).tolist()
+
+    if jax.process_index() == 0:
+        for k, v in collected.items():
+            print(f"The average of {k} is {np.mean(v)}")
+
+
+if __name__ == "__main__":
+    app.run(main, flags_parser=parse_args)

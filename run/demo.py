@@ -1,0 +1,261 @@
+"""Demo / evaluation CLI (ref ``run/demo.py``): view, generation,
+generation_process, interpolation, completion (optimization), completion2
+(ScoreSDE imputation).
+
+Usage (identical flags to the reference):
+    python -m run.demo --config configs/subvp/amass_scorefc_continuous.py \
+        --task generation [--metrics] --ckpt-path ... --bodymodel-path ...
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from absl import app, flags
+from absl.flags import argparse_flags
+from ml_collections.config_flags import config_flags
+
+FLAGS = flags.FLAGS
+config_flags.DEFINE_config_file(
+    "config", None, "Visualizing configuration.", lock_config=False)
+flags.mark_flags_as_required(["config"])
+
+BG_IMG_SHAPE = (512, 384, 3)
+FOCAL = [1500, 1500]
+PRINCPT = [200, 192]
+
+
+def parse_args(argv):
+    parser = argparse_flags.ArgumentParser(
+        description="visualize the save files and demo on toy data")
+    parser.add_argument("--ckpt-path", type=str,
+                        default="./pretrained_models/axis-zscore-400k.pth")
+    parser.add_argument("--bodymodel-path", type=str,
+                        default="../body_models/smplx/SMPLX_NEUTRAL.npz",
+                        help="path of SMPLX model")
+    parser.add_argument("--smpl-path", type=str, default="../body_models/smpl",
+                        help="path of SMPL model (for --metrics, Pose-NDF protocol)")
+    parser.add_argument("--dataset-folder", type=str,
+                        default="./data/AMASS/amass_processed")
+    parser.add_argument("--version", type=str, default="version1")
+    parser.add_argument("--file-path", type=str, default="./examples/toy_data.npz")
+    parser.add_argument("--task", type=str, default="view",
+                        choices=["view", "generation", "generation_process",
+                                 "interpolation", "completion", "completion2"])
+    parser.add_argument("--metrics", action="store_true")
+    parser.add_argument("--hypo", type=int, default=10)
+    parser.add_argument("--part", type=str, default="left_leg",
+                        choices=["left_leg", "right_leg", "left_arm", "right_arm",
+                                 "trunk", "hands", "legs", "arms"])
+    parser.add_argument("--view", type=str, default="front")
+    parser.add_argument("--faster", action="store_true")
+    parser.add_argument("--video", action="store_true")
+    parser.add_argument("--output-path", type=str, default="./output/test_results")
+    parser.add_argument("--device", type=str, default=None, help="unused (JAX backend)")
+    parser.add_argument("--seed", type=int, default=42)
+    return parser.parse_args(argv[1:])
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from dposer_tpu import N_POSES
+    from dposer_tpu.body_model.smplx_jax import BodyModel
+    from dposer_tpu.body_model.visual import multiple_render, render_mesh
+    from dposer_tpu.diffusion import sampling as sampling_lib
+    from dposer_tpu.diffusion.likelihood import get_likelihood_fn
+    from dposer_tpu.ops.metrics import (Evaler, average_pairwise_distance,
+                                        self_intersections_percentage)
+    from dposer_tpu.ops.smoothing import slerp_interpolation
+    from dposer_tpu.tasks import DPoserComp
+    from dposer_tpu.utils.masks import create_mask
+
+    from .common import build_normalizer, load_model_for_inference, pose_dim
+
+    config = FLAGS.config
+    key = jax.random.PRNGKey(args.seed)
+    os.makedirs(args.output_path, exist_ok=True)
+    bg_img = np.ones(BG_IMG_SHAPE) * 255
+
+    sample_num = 50
+    POSE_DIM = pose_dim(config)
+    model, params, sde, sampling_eps, score_fn = load_model_for_inference(
+        config, args.ckpt_path)
+    normalizer = build_normalizer(config, args.dataset_folder, args.version)
+
+    def make_body_model(batch):
+        return BodyModel(bm_path=args.bodymodel_path, num_betas=10,
+                         batch_size=batch, model_type="smplx")
+
+    render_kwargs = dict(bg_img=bg_img, focal=FOCAL, princpt=PRINCPT, view=args.view)
+
+    if args.task == "generation":
+        target_path = os.path.join(args.output_path, "generation")
+        shape = (sample_num, N_POSES * POSE_DIM)
+        sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
+                                               inverse_scaler=None, eps=sampling_eps)
+        key, sub = jax.random.split(key)
+        _, samples = sampler(sub)
+        try:
+            multiple_render(samples, normalizer, make_body_model(sample_num),
+                            target_path, "generated_sample{}.png", **render_kwargs)
+            print(f"samples saved under {target_path}")
+        except FileNotFoundError as e:
+            print(f"[skip renders] body model unavailable: {e}")
+
+        if args.metrics:
+            sample_num_m = 500
+            shape = (sample_num_m, N_POSES * POSE_DIM)
+            config.sampling.method = "pc"
+            config.sampling.corrector = "langevin"
+            sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
+                                                   inverse_scaler=None, eps=5e-3)
+            key, sub = jax.random.split(key)
+            _, samples = sampler(sub)
+            # Pose-NDF protocol: SMPL body, zero-padded hand joints
+            body_model = BodyModel(bm_path=args.smpl_path, model_type="smpl",
+                                   batch_size=sample_num_m, num_betas=10)
+            samples = normalizer.offline_denormalize(samples, to_axis=True)
+            samples = jnp.concatenate(
+                [samples, jnp.zeros((sample_num_m, 6))], axis=1)
+            body_out = body_model(pose_body=samples)
+            apd = float(average_pairwise_distance(body_out.Jtr[:, :22, :]))
+            si = float(np.nanmean(self_intersections_percentage(
+                np.asarray(body_out.v), np.asarray(body_out.f))))
+            print("average_pairwise_distance for 500 generated samples", apd)
+            print("self-intersections percentage for 500 generated samples", si)
+        return
+
+    if args.task == "generation_process":
+        target_path = os.path.join(args.output_path, "generation_process")
+        os.makedirs(target_path, exist_ok=True)
+        video_num = 3
+        shape = (video_num, N_POSES * POSE_DIM)
+        assert config.sampling.method == "pc"
+        sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
+                                               inverse_scaler=None, eps=sampling_eps,
+                                               return_trajectory=True)
+        key, sub = jax.random.split(key)
+        trajs, _ = sampler(sub)
+        import cv2
+
+        body_model = make_body_model(100)
+        for idx in range(video_num):
+            traj = trajs[9::10, idx]
+            traj = normalizer.offline_denormalize(traj, to_axis=True)
+            body_out = body_model(pose_body=traj)
+            meshes = np.asarray(body_out.v)
+            faces = np.asarray(body_out.f)
+            frames = [render_mesh(bg_img, meshes[i], faces,
+                                  {"focal": FOCAL, "princpt": PRINCPT}, view="front")
+                      for i in range(len(meshes))]
+            h, w = frames[0].shape[:2]
+            video_path = os.path.join(target_path, f"generation_process{idx}.mp4")
+            out = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+            for f in frames:
+                out.write(f.astype(np.uint8))
+            out.release()
+            print(f"Video saved at {video_path}")
+        return
+
+    # ---- tasks operating on saved poses ------------------------------------
+    data = np.load(args.file_path, allow_pickle=True)
+    body_poses = jnp.asarray(data["pose_samples"][:sample_num])
+    print(f"loaded axis pose data {body_poses.shape} from {args.file_path}")
+    body_model = make_body_model(sample_num)
+
+    if args.task == "view":
+        target_path = os.path.join(args.output_path, "view")
+        multiple_render(body_poses, None, body_model, target_path,
+                        "GT_sample{}.png", convert=False, **render_kwargs)
+        print(f"rendered images saved under {target_path}")
+        return
+
+    if args.task in ("completion", "completion2"):
+        target_path = os.path.join(args.output_path, "completion")
+        gts = body_poses
+        normed = normalizer.offline_normalize(body_poses, from_axis=True)
+        key, km = jax.random.split(key)
+        mask, observation = create_mask(km, normed, part=args.part)
+        hypo_num = args.hypo
+
+        if args.task == "completion":
+            # optimization solver; NOTE the demo variant uses time_strategy '2'
+            # (ref run/demo.py:306) unlike run.completion's '3'
+            compfn = DPoserComp(sde, score_fn, time_strategy="2", sample_time=900)
+            key, ko = jax.random.split(key)
+            multihypo = compfn.optimize_hypos(ko, observation, mask, hypo_num)
+        else:
+            # ScoreSDE imputation inside the reverse sampler
+            sampler = sampling_lib.get_sampling_fn(
+                config, sde, observation.shape, score_fn, inverse_scaler=None,
+                eps=sampling_eps, imputation=True)
+            outs = []
+            for h in range(hypo_num):
+                key, kh = jax.random.split(key)
+                _, completion = sampler(kh, observation=observation, mask=mask)
+                outs.append(completion)
+            multihypo = jnp.stack(outs, axis=1)
+
+        preds = normalizer.offline_denormalize(multihypo, to_axis=True)
+        evaler = Evaler(body_model=body_model, part=args.part)
+        eval_results = evaler.multi_eval_bodys(preds, gts)
+        evaler.print_multi_eval_result(eval_results, hypo_num)
+
+        try:
+            multiple_render(observation, normalizer, body_model, target_path,
+                            "sample{}_masked.png", **render_kwargs)
+            for h in range(hypo_num):
+                multiple_render(multihypo[:, h], normalizer, body_model, target_path,
+                                "sample{}_completion" + str(h) + ".png", **render_kwargs)
+            print(f"Completion samples under {target_path}")
+        except FileNotFoundError as e:
+            print(f"[skip renders] {e}")
+        return
+
+    if args.task == "interpolation":
+        target_path = os.path.join(args.output_path, "interpolation")
+        inter_frames = 60
+        chosen_idx = [1, 10, 11, 12, 17, 14]
+        anchor_poses = body_poses[jnp.asarray(chosen_idx)]
+        anchor_num = anchor_poses.shape[0]
+
+        anchor_normed = normalizer.offline_normalize(anchor_poses, from_axis=True)
+        likelihood_fn = get_likelihood_fn(sde, score_fn, rtol=1e-4, atol=1e-4, eps=1e-4)
+        key, kl = jax.random.split(key)
+        _, anchor_z, _ = likelihood_fn(kl, anchor_normed)
+
+        # deterministic PF-ODE decode (pc + probability_flow, ref demo.py:439-447)
+        config.sampling.probability_flow = True
+        config.sampling.method = "pc"
+        config.sampling.predictor = "euler_maruyama"
+        config.sampling.corrector = "none"
+        eps = 1e-5
+        shape = (anchor_num, N_POSES * POSE_DIM)
+        det_sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
+                                                   inverse_scaler=None, eps=eps)
+        _, recon = det_sampler(jax.random.PRNGKey(0), z=anchor_z)
+        recon_err = float(jnp.abs(recon - anchor_normed).mean())
+        print(f"reconstruction mean abs err (normalized space): {recon_err:.4f}")
+
+        shape = (inter_frames, N_POSES * POSE_DIM)
+        det_sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
+                                                   inverse_scaler=None, eps=eps)
+        inter_body_model = make_body_model(inter_frames)
+        for idx in range(anchor_num - 1):
+            latents = slerp_interpolation(anchor_z[idx], anchor_z[idx + 1], inter_frames)
+            _, samples = det_sampler(jax.random.PRNGKey(0), z=latents)
+            try:
+                multiple_render(samples, normalizer, inter_body_model, target_path,
+                                "inter_" + str(idx) + "_{}.png", **render_kwargs)
+            except FileNotFoundError as e:
+                print(f"[skip renders] {e}")
+                break
+        print(f"Interpolation outputs under {target_path}")
+        return
+
+
+if __name__ == "__main__":
+    app.run(main, flags_parser=parse_args)

@@ -1,0 +1,137 @@
+"""Motion denoising CLI (ref ``run/motion_denoising.py``): noisy 3D joints
+-> clean pose sequences, on toy files or a whole directory, with CSV logging.
+
+    python -m run.motion_denoising --config configs/subvp/amass_scorefc_continuous.py \
+        --file-path ./examples/Gestures_3_poses_batch005.npz --noise-std 0.04
+"""
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from absl import app, flags
+from absl.flags import argparse_flags
+from ml_collections.config_flags import config_flags
+
+FLAGS = flags.FLAGS
+config_flags.DEFINE_config_file(
+    "config", None, "Visualizing configuration.", lock_config=False)
+flags.mark_flags_as_required(["config"])
+
+
+def parse_args(argv):
+    parser = argparse_flags.ArgumentParser(
+        description="motion denosing (3D noisy joints -> clean poses)")
+    parser.add_argument("--dataset-folder", type=str,
+                        default="../data/AMASS/amass_processed")
+    parser.add_argument("--version", type=str, default="version1")
+    parser.add_argument("--ckpt-path", type=str,
+                        default="./pretrained_models/axis-zscore-400k.pth")
+    parser.add_argument("--bodymodel-path", type=str,
+                        default="../body_models/smplx/SMPLX_NEUTRAL.npz")
+    parser.add_argument("--outpath-folder", type=str,
+                        default="./output/test_results/motion_denoise")
+    parser.add_argument("--noise-std", type=float, default=0.04)
+    parser.add_argument("--time-strategy", type=str, default="3",
+                        choices=["1", "2", "3"])
+    parser.add_argument("--device", type=str, default=None, help="unused")
+    parser.add_argument("--file-path", type=str, help="use toy data to run")
+    parser.add_argument("--data-dir", type=str,
+                        default="../humor/out/amass_joints_noisy_fitting/results_out")
+    parser.add_argument("--dataset", type=str, default="AMASS")
+    parser.add_argument("--seed", type=int, default=42)
+    return parser.parse_args(argv[1:])
+
+
+def denoise(config, args, sde, score_fn, normalizer, gt_file, out_path,
+            std=0.04, verbose=False, key=None):
+    import jax
+    import jax.numpy as jnp
+
+    from dposer_tpu.body_model.smplx_jax import BodyModel
+    from dposer_tpu.tasks import MotionDenoise
+    from dposer_tpu.tasks.motion_denoising import noise_schedule_kwargs
+
+    motion_data_gt = np.load(gt_file)["pose_body"]
+    batch_size = len(motion_data_gt)
+    gt_poses = jnp.asarray(motion_data_gt.astype(np.float32))
+
+    body_model = BodyModel(bm_path=args.bodymodel_path, model_type="smplx",
+                           batch_size=batch_size, num_betas=10)
+
+    key, k_noise, k_opt = jax.random.split(key, 3)
+    joints3d = body_model(pose_body=gt_poses).Jtr[:, :22]
+    noisy_joints3d = joints3d + std * jax.random.normal(k_noise, joints3d.shape)
+
+    # dposer_weight per strategy (ref motion_denoising.py:317-322)
+    sde_N = 500
+    dposer_weight = 1e-1 if args.time_strategy == "1" else 1.0
+
+    md = MotionDenoise(sde, score_fn, body_model, normalizer,
+                       dposer_weight=dposer_weight, batch_size=batch_size)
+    kwargs = noise_schedule_kwargs(std)
+    results = md.optimize(k_opt, noisy_joints3d, gt_poses,
+                          time_strategy=args.time_strategy, verbose=verbose,
+                          **kwargs)
+
+    if out_path is not None:
+        np.savez(os.path.join(out_path, "denoised_poses.npz"),
+                 pose_body=np.asarray(md.last_poses))
+    return results
+
+
+def main(args):
+    import jax
+
+    from .common import build_normalizer, load_model_for_inference
+
+    config = FLAGS.config
+    key = jax.random.PRNGKey(args.seed)
+    model, params, sde, eps, score_fn = load_model_for_inference(
+        config, args.ckpt_path, sde_N=500)
+    normalizer = build_normalizer(config, args.dataset_folder, args.version)
+
+    if args.file_path is not None:
+        os.makedirs(args.outpath_folder, exist_ok=True)
+        results = denoise(config, args, sde, score_fn, normalizer, args.file_path,
+                          args.outpath_folder, std=args.noise_std, verbose=True,
+                          key=key)
+        for k, v in results.items():
+            print(f"The average of {k} is {np.mean(np.asarray(v))}")
+        return
+
+    # whole test set
+    def find_npz_files(data_dir):
+        out = []
+        for root, _, files in os.walk(data_dir):
+            out.extend(os.path.relpath(os.path.join(root, f), data_dir)
+                       for f in files if f.endswith(".npz"))
+        return out
+
+    seqs = sorted(find_npz_files(args.data_dir))
+    print(f"Test dataset consists of {len(seqs)} sequences")
+    os.makedirs(args.outpath_folder, exist_ok=True)
+    csv_path = os.path.join(args.outpath_folder, f"{args.dataset}_results_logging.csv")
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerow(["Sequence", "init_MPJPE", "MPJPE", "MPVPE"])
+
+    all_results = {}
+    for seq in seqs:
+        key, k_seq = jax.random.split(key)
+        results = denoise(config, args, sde, score_fn, normalizer,
+                          os.path.join(args.data_dir, seq), None,
+                          std=args.noise_std, verbose=True, key=k_seq)
+        with open(csv_path, "a", newline="") as f:
+            csv.writer(f).writerow(
+                [seq] + [np.mean(results[k]) for k in ["init_MPJPE", "MPJPE", "MPVPE"]])
+        for k, v in results.items():
+            all_results.setdefault(k, []).extend(np.asarray(v).tolist())
+
+    for k, v in all_results.items():
+        print(f"The average of {k} is {np.mean(v)}")
+
+
+if __name__ == "__main__":
+    app.run(main, flags_parser=parse_args)

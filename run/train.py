@@ -1,0 +1,306 @@
+"""Training CLI (ref ``run/train.py``): score-matching training with periodic
+evaluation (bpd, completion MPVPE/MPJPE, generation APD), checkpointing, and
+best-by-APD model selection.
+
+TPU-native: the fused train step is jitted data-parallel over all local
+devices; eval metrics run through the jitted likelihood/sampler paths.
+Resume loads the newest ``checkpoint-step*`` (the reference hardcodes
+step55000, ref train.py:183).
+
+    python -m run.train --config configs/subvp/amass_scorefc_continuous.py \
+        --dataset-folder ... --version version1 [--bodymodel-path ...]
+"""
+import glob
+import os
+import pprint
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from absl import app, flags
+from absl.flags import argparse_flags
+from ml_collections.config_flags import config_flags
+
+FLAGS = flags.FLAGS
+config_flags.DEFINE_config_file(
+    "config", None, "Training configuration.", lock_config=False)
+flags.mark_flags_as_required(["config"])
+
+
+def parse_args(argv):
+    parser = argparse_flags.ArgumentParser(description="train diffusion model")
+    parser.add_argument("--dataset-folder", type=str,
+                        default="./data/AMASS/amass_processed")
+    parser.add_argument("--version", type=str, default="version1")
+    parser.add_argument("--bodymodel-path", type=str,
+                        default="../body_models/smplx/SMPLX_NEUTRAL.npz",
+                        help="path of SMPLX model [for visual validation]")
+    parser.add_argument("--restore-dir", type=str, help="resume training")
+    parser.add_argument("--shape", type=bool, default=False)
+    parser.add_argument("--sample", type=int, help="sample trainset to reduce data")
+    parser.add_argument("--task", type=str, default=None)
+    parser.add_argument("--name", type=str, default="")
+    parser.add_argument("--seed", type=int, default=42)
+    return parser.parse_args(argv[1:])
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from dposer_tpu import N_POSES, parallel as par
+    from dposer_tpu.body_model.smplx_jax import BodyModel
+    from dposer_tpu.data import AMASSDataset
+    from dposer_tpu.diffusion import losses as losses_lib
+    from dposer_tpu.diffusion import sampling as sampling_lib
+    from dposer_tpu.diffusion.likelihood import get_likelihood_fn
+    from dposer_tpu.diffusion.score_fn import get_score_fn
+    from dposer_tpu.diffusion.sde import build_sde, sampling_eps_for
+    from dposer_tpu.models import create_score_model
+    from dposer_tpu.models.score_mlp import make_model_apply
+    from dposer_tpu.ops.metrics import Evaler, average_pairwise_distance
+    from dposer_tpu.ops.rotations import rot6d_to_axis_angle
+    from dposer_tpu.utils import checkpoint as ckpt_lib
+    from dposer_tpu.utils.generic import MetricWriter, create_logger
+    from dposer_tpu.utils.masks import create_mask
+
+    config = FLAGS.config
+    key = jax.random.PRNGKey(args.seed)
+
+    logger, final_output_dir = create_logger(
+        config.OUTPUT_DIR, config.DATASET.TRAIN_DATASET,
+        config.DATASET.TEST_DATASET, "train", name=args.name)
+    logger.info(pprint.pformat(config))
+    logger.info(pprint.pformat(args))
+    writer = MetricWriter(os.path.join(final_output_dir, "tb"))
+
+    # body model for validation metrics (optional: skipped when unavailable)
+    body_model_vis = None
+    if args.bodymodel_path and os.path.exists(args.bodymodel_path):
+        body_model_vis = BodyModel(bm_path=args.bodymodel_path, num_betas=10,
+                                   batch_size=50, model_type="smplx")
+    else:
+        logger.info("body model unavailable -> completion/APD eval disabled")
+
+    # datasets
+    train_dataset = AMASSDataset(args.dataset_folder, version=args.version,
+                                 subset="train", sample_interval=args.sample,
+                                 rot_rep=config.data.rot_rep, return_shape=args.shape,
+                                 normalize=config.data.normalize,
+                                 min_max=config.data.min_max)
+    test_dataset = AMASSDataset(args.dataset_folder, version=args.version,
+                                subset="test", sample_interval=100,
+                                rot_rep=config.data.rot_rep, return_shape=args.shape,
+                                normalize=config.data.normalize,
+                                min_max=config.data.min_max)
+    denormalize = train_dataset.Denormalize if config.data.normalize else (lambda x: x)
+    logger.info(f"total train samples: {len(train_dataset)}")
+    logger.info(f"total test samples: {len(test_dataset)}")
+
+    POSE_DIM = 3 if config.data.rot_rep == "axis" else 6
+    model = create_score_model(config, n_poses=N_POSES)
+    key, k_init = jax.random.split(key)
+    params = model.init(k_init, jnp.zeros((1, N_POSES * POSE_DIM)), jnp.zeros((1,)))["params"]
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    logger.info(f"model params: {n_params / 1e6:.2f}M")
+
+    state, tx = losses_lib.init_train_state(config, params)
+
+    # resume
+    if args.restore_dir and os.path.exists(args.restore_dir):
+        ckpts = sorted(glob.glob(os.path.join(args.restore_dir, "checkpoint-step*")),
+                       key=lambda p: int(p.rsplit("step", 1)[1].split(".")[0]))
+        if ckpts:
+            ckpt_path = ckpts[-1]
+            logger.info(f"=> loading checkpoint: {ckpt_path}")
+            if os.path.isdir(ckpt_path):
+                target = jax.device_get({
+                    "params": state.params, "opt_state": state.opt_state,
+                    "ema": {"shadow_params": state.ema.shadow_params,
+                            "num_updates": state.ema.num_updates,
+                            "decay": state.ema.decay},
+                    "step": 0})
+                restored = ckpt_lib.restore_train_state(ckpt_path, target)
+                state = state.replace(
+                    params=restored["params"], opt_state=restored["opt_state"],
+                    step=jnp.asarray(restored["step"], jnp.int32),
+                    ema=state.ema.replace(
+                        shadow_params=restored["ema"]["shadow_params"],
+                        num_updates=jnp.asarray(restored["ema"]["num_updates"], jnp.int32)))
+            else:  # torch .pth
+                cv = ckpt_lib.convert_torch_checkpoint(
+                    ckpt_path, n_blocks=config.model.N_BLOCKS,
+                    embedding_type=config.model.embedding_type)
+                state = state.replace(params=cv["params"],
+                                      step=jnp.asarray(cv["step"], jnp.int32))
+                if cv["ema_params"] is not None:
+                    state = state.replace(ema=state.ema.replace(
+                        shadow_params=cv["ema_params"],
+                        num_updates=jnp.asarray(cv["ema_num_updates"] or 0, jnp.int32)))
+            logger.info(f"=> loaded checkpoint (step {int(state.step)})")
+
+    # SDE + samplers + losses
+    sde = build_sde(config)
+    sampling_eps = sampling_eps_for(sde)
+    sampling_shape = (config.eval.batch_size, N_POSES * POSE_DIM)
+
+    model_apply = make_model_apply(model)
+    step_kwargs = {}
+    if config.training.auxiliary_loss:
+        body_model_train = BodyModel(bm_path=args.bodymodel_path, num_betas=10,
+                                     batch_size=config.training.batch_size,
+                                     model_type="smplx")
+
+        def body_fn(pose_axis):
+            out = body_model_train(pose_body=pose_axis)
+            return out.v, out.Jtr
+
+        step_kwargs = dict(auxiliary_loss=True, denormalize=denormalize,
+                           body_model_fn=body_fn, rot_rep=config.data.rot_rep,
+                           denoise_steps=config.training.denoise_steps,
+                           rot6d_to_axis=rot6d_to_axis_angle)
+
+    train_step = losses_lib.get_step_fn(
+        sde, train=True, model_apply=model_apply, tx=tx,
+        reduce_mean=config.training.reduce_mean,
+        continuous=config.training.continuous,
+        likelihood_weighting=config.training.likelihood_weighting, **step_kwargs)
+
+    mesh = par.make_mesh()
+    n_dev = mesh.devices.size
+    if config.training.batch_size % n_dev:
+        raise ValueError(f"batch {config.training.batch_size} must divide {n_dev} devices")
+    sharded_step = par.data_parallel_step(train_step, mesh)
+    logger.info(f"data-parallel over {n_dev} device(s): {mesh.devices.ravel()[:4]}...")
+
+    def eval_score_fn_for(eval_params):
+        return get_score_fn(sde, lambda x, t: model.apply({"params": eval_params}, x, t),
+                            continuous=config.training.continuous)
+
+    num_train_steps = config.training.n_iters
+    metrics = {}
+    best_APD = 0.0
+    step = int(state.step)
+    batches = train_dataset.train_batches(config.training.batch_size, seed=args.seed)
+
+    while step < num_train_steps:
+        batch = next(batches)
+        key, k_step = jax.random.split(key)
+        state, loss_dict = sharded_step(state, k_step, par.shard_batch(mesh, batch))
+        step = int(state.step)
+
+        for k, v in loss_dict.items():
+            metrics[k] = metrics.get(k, 0.0) + float(v)
+        if step % config.training.log_freq == 0:
+            msg = f"Iter: [{step}/{num_train_steps}, {step / num_train_steps * 100:.2f}%],\t"
+            for k in list(metrics):
+                writer.add_scalar(k, metrics[k] / config.training.log_freq, step)
+                msg += f"{k}: {metrics[k] / config.training.log_freq:.6f},\t"
+                metrics[k] = 0.0
+            logger.info(msg)
+
+        if step % config.training.eval_freq == 0:
+            logger.info("start validating")
+            ema_params = state.ema.shadow_params
+            score_fn = eval_score_fn_for(ema_params)
+            likelihood_fn = get_likelihood_fn(sde, score_fn, rtol=1e-4, atol=1e-4,
+                                              eps=1e-4)
+            sampler = sampling_lib.get_sampling_fn(
+                config, sde, sampling_shape, score_fn, inverse_scaler=None,
+                eps=sampling_eps, return_trajectory=True)
+            imput_sampler = sampling_lib.get_sampling_fn(
+                config, sde, sampling_shape, score_fn, inverse_scaler=None,
+                eps=sampling_eps, imputation=True)
+
+            eval_metrics = {"bpd": [], "mpvpe_all": [], "mpjpe_body": []}
+            all_samples = []
+            trajs = None
+            for bi, poses in enumerate(test_dataset.eval_batches(config.eval.batch_size)):
+                poses = jnp.asarray(poses)
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                bpd, z, nfe = likelihood_fn(k1, poses)
+                logger.info(f"Sample bpd: {float(bpd.mean())} with nfe: {int(nfe)}")
+                eval_metrics["bpd"].append(float(bpd.mean()))
+
+                if body_model_vis is not None:
+                    mask, observation = create_mask(k2, poses, part="left_leg")
+                    hypo_num = 5
+                    hypos = []
+                    for h in range(hypo_num):
+                        key, kh = jax.random.split(key)
+                        _, completion = imput_sampler(kh, observation=observation,
+                                                      mask=mask)
+                        hypos.append(completion)
+                    multihypo = jnp.stack(hypos, axis=1)
+                    preds = denormalize(multihypo)
+                    gts = denormalize(poses)
+                    if config.data.rot_rep == "rot6d":
+                        b = poses.shape[0]
+                        preds = rot6d_to_axis_angle(preds.reshape(-1, 6)).reshape(b, hypo_num, -1)
+                        gts = rot6d_to_axis_angle(gts.reshape(-1, 6)).reshape(b, -1)
+                    evaler = Evaler(body_model=body_model_vis, part="left_leg")
+                    res = evaler.multi_eval_bodys(preds, gts)
+                    eval_metrics["mpvpe_all"].append(float(np.mean(res["mpvpe_all"])))
+                    eval_metrics["mpjpe_body"].append(float(np.mean(res["mpjpe_body"])))
+
+                key, kg = jax.random.split(key)
+                trajs, samples = sampler(kg)
+                all_samples.append(samples)
+
+            for k, v in eval_metrics.items():
+                if v:
+                    writer.add_scalar(f"eval_{k}", float(np.mean(v)), step)
+
+            all_samples = jnp.concatenate(all_samples, axis=0)[:50]
+            slice_step = sde.N // 10
+            trajs_s = trajs[::slice_step, :5]
+            trajs_dn = denormalize(trajs_s)
+            samples_dn = denormalize(all_samples)
+            if config.data.rot_rep == "rot6d":
+                trajs_dn = rot6d_to_axis_angle(trajs_dn.reshape(-1, 6)).reshape(-1, N_POSES * 3)
+                samples_dn = rot6d_to_axis_angle(samples_dn.reshape(-1, 6)).reshape(-1, N_POSES * 3)
+            else:
+                trajs_dn = trajs_dn.reshape(-1, N_POSES * 3)
+
+            APD = 0.0
+            if body_model_vis is not None:
+                body_out = body_model_vis(pose_body=samples_dn)
+                APD = float(average_pairwise_distance(body_out.Jtr[:, :22, :]))
+                logger.info(f"APD: {APD}")
+                writer.add_scalar("APD", APD, step)
+
+            n_t, n_s = trajs_s.shape[0], trajs_s.shape[1]
+            np.savez(os.path.join(final_output_dir, "last_samples.npz"),
+                     pose_trajs=np.asarray(trajs_dn).reshape(n_t, n_s, -1),
+                     pose_samples=np.asarray(samples_dn).reshape(1, samples_dn.shape[0], -1))
+            logger.info("validating completed")
+
+            if APD > best_APD:
+                best_APD = APD
+                logger.info(f"saving best checkpoint, APD: {best_APD}")
+                ckpt_lib.save_train_state(
+                    os.path.join(final_output_dir, "best_model"),
+                    {"params": state.params, "ema": {
+                        "shadow_params": state.ema.shadow_params,
+                        "num_updates": state.ema.num_updates,
+                        "decay": state.ema.decay},
+                     "step": int(state.step)})
+
+        if step % config.training.save_freq == 0:
+            logger.info(f"Save checkpoint to {final_output_dir}")
+            ckpt_lib.save_train_state(
+                os.path.join(final_output_dir, f"checkpoint-step{step}"),
+                jax.device_get({"params": state.params,
+                                "opt_state": state.opt_state,
+                                "ema": {"shadow_params": state.ema.shadow_params,
+                                        "num_updates": state.ema.num_updates,
+                                        "decay": state.ema.decay},
+                                "step": int(state.step)}))
+
+    writer.close()
+    logger.info(f"End. Final output dir: {final_output_dir}")
+
+
+if __name__ == "__main__":
+    app.run(main, flags_parser=parse_args)
