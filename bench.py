@@ -28,8 +28,6 @@ def measure_tpu() -> float:
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from dposer_tpu.diffusion.sampling import get_pc_sampler
-    from dposer_tpu.diffusion.score_fn import get_score_fn
     from dposer_tpu.diffusion.sde import SubVPSDE
     from dposer_tpu.models import ScoreModelFC
 
@@ -37,15 +35,27 @@ def measure_tpu() -> float:
                          n_blocks=2, dropout=0.1)
     key = jax.random.PRNGKey(0)
     params = model.init(key, jnp.zeros((1, POSE_DIM)), jnp.zeros((1,)))["params"]
-
     sde = SubVPSDE(N=N_STEPS)
-    score_fn = get_score_fn(sde, lambda x, t: model.apply({"params": params}, x, t))
-    sampler = get_pc_sampler(sde, (N_SAMPLES, POSE_DIM), score_fn,
-                             predictor="euler_maruyama", corrector="none",
-                             denoise=True, eps=1e-3)
 
-    _, x = sampler(jax.random.PRNGKey(1))  # compile + warmup
-    x.block_until_ready()
+    # headline path: the single-kernel Pallas sampler; fall back to the
+    # fused-scan XLA sampler on backends without Mosaic
+    try:
+        from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
+
+        sampler = get_pallas_em_sampler(sde, model, params,
+                                        (N_SAMPLES, POSE_DIM), eps=1e-3)
+        _, x = sampler(jax.random.PRNGKey(1))
+        x.block_until_ready()
+    except Exception:
+        from dposer_tpu.diffusion.sampling import get_pc_sampler
+        from dposer_tpu.diffusion.score_fn import get_score_fn
+
+        score_fn = get_score_fn(sde, lambda x, t: model.apply({"params": params}, x, t))
+        sampler = get_pc_sampler(sde, (N_SAMPLES, POSE_DIM), score_fn,
+                                 predictor="euler_maruyama", corrector="none",
+                                 denoise=True, eps=1e-3)
+        _, x = sampler(jax.random.PRNGKey(1))
+        x.block_until_ready()
 
     times = []
     for i in range(3):

@@ -1,0 +1,185 @@
+"""Speed-of-light Euler-Maruyama sampler for ScoreModelFC.
+
+The generic PC sampler (``sampling.py``) evaluates per step: timestep math,
+SDE coefficients, the positional time embedding, its shared projection, and
+five per-layer time projections — all *independent of x*. At DPoser's scale
+(63-dim poses, 1024-wide MLP) the 1000-step loop is bound by per-step op
+count, not FLOPs (measured: bf16 matmuls give no speedup).
+
+This sampler precomputes every x-independent quantity as an ``[N, ...]``
+table before the scan:
+
+- EM update constants: ``x_mean = cx[i] * x + cout[i] * model_out``,
+  ``x = x_mean + cnoise[i] * z`` — the drift/diffusion/score-scale algebra
+  for VP/subVP/VE collapses into three scalars per step
+- time-embedding path: ``temb -> shared -> act`` then each layer's
+  ``Dense(temb)`` contribution, gathered by step index inside the loop
+
+The remaining per-step graph is exactly: 6 matmuls, 3 GroupNorms, SiLUs,
+one RNG draw, and 3 scalar-table multiplies.
+
+PRNG layout matches ``get_pc_sampler`` (fold_in(key, i) -> split(4), EM noise
+from the 3rd subkey) so outputs are bitwise-comparable to the generic path.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.score_mlp import ScoreModelFC, get_act, get_sigmas
+from ..models.time_embedding import get_timestep_embedding
+from .sde import SDE, VESDE, VPSDE, SubVPSDE
+
+
+def _em_tables(sde: SDE, timesteps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-step (cx, cout, cnoise) such that the reverse EM update is
+    ``x_mean = cx*x + cout*model_out; x = x_mean + cnoise*z``.
+
+    Derivation: dt = -1/N; drift = f(x,t) - g(t)^2 * score with
+    score = -model_out / std(t) for VP/subVP (continuous) and
+    score = model_out for VE.
+    """
+    dt = -1.0 / sde.N
+    sqrt_mdt = math.sqrt(1.0 / sde.N)
+    if isinstance(sde, (VPSDE, SubVPSDE)):
+        beta_t = sde.beta_0 + timesteps * (sde.beta_1 - sde.beta_0)
+        _, diffusion = sde.sde(jnp.zeros_like(timesteps), timesteps)
+        _, std = sde.marginal_prob(jnp.zeros_like(timesteps), timesteps)
+        g2 = diffusion ** 2
+        cx = 1.0 + (-0.5 * beta_t) * dt            # x + f(x,t) * dt
+        # reverse drift term: -g^2 * score = +g^2 * out / std, times dt
+        cout = (g2 / std) * dt
+        cnoise = diffusion * sqrt_mdt
+        return cx, cout, cnoise
+    if isinstance(sde, VESDE):
+        _, diffusion = sde.sde(jnp.zeros_like(timesteps), timesteps)
+        g2 = diffusion ** 2
+        cx = jnp.ones_like(timesteps)
+        cout = -g2 * dt                            # drift = -g^2*score, score = out
+        cnoise = diffusion * sqrt_mdt
+        return cx, cout, cnoise
+    raise NotImplementedError(type(sde).__name__)
+
+
+def _labels_for(sde: SDE, timesteps: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(sde, (VPSDE, SubVPSDE)):
+        return timesteps * 999
+    # VE continuous conditions on sigma(t)
+    return sde.marginal_prob(jnp.zeros_like(timesteps), timesteps)[1]
+
+
+def precompute_time_tables(model: ScoreModelFC, params, labels: jnp.ndarray):
+    """All x-independent network quantities per step.
+
+    Returns (tprojs: dict name -> [N, H], out_scale: [N] or None).
+    """
+    act = get_act(model.act_name)
+    if model.embedding_type != "positional":
+        raise NotImplementedError("fast sampler supports positional embeddings")
+    temb = get_timestep_embedding(labels, model.embed_dim)
+    p = params["shared_time_embed_0"]
+    temb = act(temb @ p["kernel"] + p["bias"])
+
+    names = ["pre_dense_t"] + [f"b{i + 1}_dense{j}_t" for i in range(model.n_blocks)
+                               for j in (1, 2)]
+    tprojs = {}
+    for name in names:
+        q = params[name]
+        tprojs[name] = temb @ q["kernel"] + q["bias"]
+
+    out_scale = None
+    if model.scale_by_sigma:
+        sigmas = jnp.asarray(get_sigmas(model.sigma_min, model.sigma_max,
+                                        model.num_scales))
+        out_scale = 1.0 / sigmas[labels.astype(jnp.int32)]
+    return tprojs, out_scale
+
+
+def _group_norm(h, scale, bias, num_groups=32, eps=1e-5):
+    b, c = h.shape
+    g = h.reshape(b, num_groups, c // num_groups)
+    mean = g.mean(-1, keepdims=True)
+    var = g.var(-1, keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + eps)
+    return g.reshape(b, c) * scale + bias
+
+
+def make_fast_forward(model: ScoreModelFC, params, tprojs, out_scale):
+    """Step-indexed network forward: fwd(x, i) -> model_out."""
+    act = get_act(model.act_name)
+
+    def fwd(x, i):
+        p = params["pre_dense"]
+        h = x @ p["kernel"] + p["bias"] + tprojs["pre_dense_t"][i]
+        g = params["pre_gnorm"]
+        h = act(_group_norm(h, g["scale"], g["bias"]))
+        for blk in range(model.n_blocks):
+            q = params[f"b{blk + 1}_dense1"]
+            h1 = h @ q["kernel"] + q["bias"] + tprojs[f"b{blk + 1}_dense1_t"][i]
+            g = params[f"b{blk + 1}_gnorm1"]
+            h1 = act(_group_norm(h1, g["scale"], g["bias"]))
+            q = params[f"b{blk + 1}_dense2"]
+            h2 = h1 @ q["kernel"] + q["bias"] + tprojs[f"b{blk + 1}_dense2_t"][i]
+            g = params[f"b{blk + 1}_gnorm2"]
+            h2 = act(_group_norm(h2, g["scale"], g["bias"]))
+            h = h + h2
+        p = params["post_dense"]
+        res = h @ p["kernel"] + p["bias"]
+        if out_scale is not None:
+            res = res * out_scale[i]
+        return res
+
+    return fwd
+
+
+def get_fast_em_sampler(sde: SDE, model: ScoreModelFC, params,
+                        shape: Tuple[int, ...], eps: float = 1e-3,
+                        denoise: bool = True, dtype=jnp.float32,
+                        pregenerate_noise: bool = False, jit: bool = True):
+    """Build the fused EM sampler (predictor=euler_maruyama, corrector=none).
+
+    ``pregenerate_noise`` draws all step noise in ONE RNG call before the
+    scan (different stream than the generic sampler; slightly faster).
+    """
+    timesteps = sde.timesteps(eps).astype(dtype)
+    labels = _labels_for(sde, timesteps)
+    cx, cout, cnoise = (t.astype(dtype) for t in _em_tables(sde, timesteps))
+    cast_params = jax.tree.map(lambda a: a.astype(dtype), params)
+    tprojs, out_scale = precompute_time_tables(model, cast_params, labels)
+    fwd = make_fast_forward(model, cast_params, tprojs, out_scale)
+    N = sde.N
+
+    def sampler(key, z: Optional[jnp.ndarray] = None):
+        if z is None:
+            key, sub = jax.random.split(key)
+            x = sde.prior_sampling(sub, shape).astype(dtype)
+        else:
+            x = z.astype(dtype)
+
+        if pregenerate_noise:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, (N,) + shape, dtype)
+
+            def step(carry, i):
+                x, _ = carry
+                out = fwd(x, i)
+                x_mean = cx[i] * x + cout[i] * out
+                return (x_mean + cnoise[i] * noise[i], x_mean), None
+        else:
+
+            def step(carry, i):
+                x, _ = carry
+                # same PRNG layout as the generic PC sampler (kp = 3rd split)
+                _, _, kp, _ = jax.random.split(jax.random.fold_in(key, i), 4)
+                z_i = jax.random.normal(kp, shape, dtype)
+                out = fwd(x, i)
+                x_mean = cx[i] * x + cout[i] * out
+                return (x_mean + cnoise[i] * z_i, x_mean), None
+
+        (x, x_mean), _ = jax.lax.scan(step, (x, x), jnp.arange(N, dtype=jnp.int32))
+        return None, (x_mean if denoise else x)
+
+    return jax.jit(sampler) if jit else sampler

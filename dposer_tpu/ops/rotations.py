@@ -165,8 +165,83 @@ def estimate_focal_length(img_h, img_w):
 
 
 # ---------------------------------------------------------------------------
+# Camera-frame transforms (ref transforms.py:9-46, 136-169)
+# ---------------------------------------------------------------------------
+
+def world_to_camera_frame(P, R, T):
+    """[N,3] world points -> camera frame; R [3,3], T [3,1]."""
+    return ((R @ (P.T - T)).T)
+
+
+def camera_to_world_frame(P, R, T):
+    return (R.T @ P.T + T).T
+
+
+def cam2pixel(cam_coord, f, c):
+    """[N,3] camera coords -> pixel coords (x, y, depth)."""
+    x = cam_coord[:, 0] / cam_coord[:, 2] * f[0] + c[0]
+    y = cam_coord[:, 1] / cam_coord[:, 2] * f[1] + c[1]
+    return jnp.stack((x, y, cam_coord[:, 2]), 1)
+
+
+def pixel2cam(pixel_coord, f, c):
+    x = (pixel_coord[:, 0] - c[0]) / f[0] * pixel_coord[:, 2]
+    y = (pixel_coord[:, 1] - c[1]) / f[1] * pixel_coord[:, 2]
+    return jnp.stack((x, y, pixel_coord[:, 2]), 1)
+
+
+def rotate_points(points, rotation_matrix):
+    return points @ rotation_matrix.T
+
+
+def get_rotation_matrix_x(angle):
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.asarray([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
+
+
+def get_rotation_matrix_y(angle):
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.asarray([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+
+# ---------------------------------------------------------------------------
 # Procrustes / rigid alignment (host-side eval helpers; numpy-compatible jnp)
 # ---------------------------------------------------------------------------
+
+def procrustes(A, B, scaling: bool = True):
+    """MATLAB-style procrustes (ref transforms.py:48-133): find the similarity
+    transform of B minimizing ||A - (s B R + t)||^2.
+
+    Returns (d, Z, tform) with Z the transformed B and d the normalized
+    residual. jnp implementation of the 'best'-reflection branch.
+    """
+    A = jnp.asarray(A, jnp.float64) if jax.config.jax_enable_x64 else jnp.asarray(A)
+    B = jnp.asarray(B, A.dtype)
+    mu_A, mu_B = A.mean(0), B.mean(0)
+    A0, B0 = A - mu_A, B - mu_B
+    ssA = (A0 ** 2).sum()
+    ssB = (B0 ** 2).sum()
+    normA, normB = jnp.sqrt(ssA), jnp.sqrt(ssB)
+    A0, B0 = A0 / normA, B0 / normB
+    U, s, Vt = jnp.linalg.svd(A0.T @ B0)
+    V = Vt.T
+    R = V @ U.T
+    trace = s.sum()
+    if scaling:
+        scale = trace * normA / normB
+        d = 1 - trace ** 2
+        Z = normA * trace * (B0 @ R) + mu_A
+    else:
+        scale = 1.0
+        d = 1 + ssB / ssA - 2 * trace * normB / normA
+        Z = normB * (B0 @ R) + mu_A
+    translation = mu_A - scale * (mu_B @ R)
+    return d, Z, {"rotation": R, "scale": scale, "translation": translation}
+
+
+def align_to_gt(pose, pose_gt):
+    """Align a pose to GT with procrustes (ref transforms.py:150-155)."""
+    return procrustes(pose_gt, pose)[1]
 
 def rigid_transform_3d(A: jnp.ndarray, B: jnp.ndarray):
     """Least-squares similarity transform A->B (ref ``transforms.py:264-280``)."""

@@ -103,3 +103,18 @@ class DPoserPrior:
         if reduction == "mean":
             return jnp.mean(sq)
         return jnp.sum(sq) / (batch_size or x0.shape[0])
+
+    def red_diff_loss(self, key: jax.Array, x0: jnp.ndarray, vec_t: jnp.ndarray):
+        """RED-Diff guidance (ref motion_denoising.py:145-154): SNR^-1-weighted
+        inner product between the (detached) noise-prediction residual and x0.
+        Shipped for capability parity; the reference keeps it unused."""
+        z = jax.random.normal(key, x0.shape, x0.dtype)
+        mean, std = self.sde.marginal_prob(x0, vec_t)
+        perturbed = mean + batch_mul(std, z)
+        score = self.score_fn(perturbed, vec_t)
+        alpha, sigma = self.sde.return_alpha_sigma(vec_t)
+        sigma2 = sigma ** 2
+        noise_pred = -batch_mul(std, score)
+        inverse_snr = jnp.sqrt(sigma2) / alpha[:, 0]
+        residual = jax.lax.stop_gradient(noise_pred - z)
+        return jnp.mean(inverse_snr * jnp.einsum("ij,ij->i", residual, x0))

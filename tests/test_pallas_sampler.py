@@ -1,0 +1,69 @@
+"""Pallas fused EM kernel vs an XLA reference with identical noise."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dposer_tpu.diffusion import sde as sde_lib
+from dposer_tpu.diffusion.fast_sampler import (_em_tables, _labels_for,
+                                               make_fast_forward,
+                                               precompute_time_tables)
+from dposer_tpu.models import ScoreModelFC
+from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
+
+
+def xla_reference(sde, model, params, x0, noise, eps, denoise=True):
+    """Same tables/updates as the kernel, plain XLA."""
+    timesteps = sde.timesteps(eps)
+    labels = _labels_for(sde, timesteps)
+    cx, cout, cnoise = _em_tables(sde, timesteps)
+    tprojs, out_scale = precompute_time_tables(model, params, labels)
+    if out_scale is not None:
+        cout = cout * out_scale
+    fwd = make_fast_forward(model, params, tprojs,
+                            None)  # out_scale folded into cout
+
+    def step(carry, i):
+        x, _ = carry
+        out = fwd(x, i)
+        x_mean = cx[i] * x + cout[i] * out
+        return (x_mean + cnoise[i] * noise[i], x_mean), None
+
+    (x, x_mean), _ = jax.lax.scan(step, (x0, x0),
+                                  jnp.arange(sde.N, dtype=jnp.int32))
+    return x_mean if denoise else x
+
+
+@pytest.mark.parametrize("scale_by_sigma", [False, True])
+def test_kernel_matches_xla_reference(scale_by_sigma):
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+                         n_blocks=2, dropout=0.0, scale_by_sigma=scale_by_sigma)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 63)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.SubVPSDE(N=20)  # short horizon: bf16-vs-fp32 drift stays small
+    shape = (8, 63)
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, shape)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (20,) + shape)
+
+    ref = np.asarray(xla_reference(sde, model, params, x0, noise, eps=1e-3))
+    sampler = get_pallas_em_sampler(sde, model, params, shape, eps=1e-3,
+                                    interpret=True)
+    _, out = sampler(jax.random.PRNGKey(9), z=x0, noise=noise)
+    out = np.asarray(out)
+    scale = max(1.0, np.abs(ref).max())
+    # kernel uses bf16 matmuls; fp32 interpret-mode still reassociates GN math
+    np.testing.assert_allclose(out, ref, atol=2e-2 * scale,
+                               err_msg=f"scale_by_sigma={scale_by_sigma}")
+
+
+def test_kernel_prior_sampling_runs():
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+                         n_blocks=1, dropout=0.0, scale_by_sigma=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 63)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.SubVPSDE(N=10)
+    sampler = get_pallas_em_sampler(sde, model, params, (4, 63), interpret=True)
+    _, x = sampler(jax.random.PRNGKey(5))
+    assert x.shape == (4, 63)
+    assert np.isfinite(np.asarray(x)).all()

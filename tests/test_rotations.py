@@ -88,3 +88,43 @@ def test_batched_shapes(rng, shape):
     assert R.shape == shape[:-1] + (3, 3)
     r6 = rot.axis_angle_to_rot6d(jnp.asarray(aa))
     assert r6.shape == shape[:-1] + (6,)
+
+
+def test_camera_frame_roundtrip(rng):
+    from dposer_tpu.ops.rotations import (camera_to_world_frame, cam2pixel,
+                                          pixel2cam, world_to_camera_frame)
+
+    P = jnp.asarray(rng.normal(size=(12, 3)).astype(np.float32))
+    R = rot.axis_angle_to_matrix(jnp.asarray(rng.normal(size=3) * 0.4))
+    T = jnp.asarray(rng.normal(size=(3, 1)).astype(np.float32))
+    cam = world_to_camera_frame(P, R, T)
+    back = camera_to_world_frame(cam, R, T)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(P), atol=1e-5)
+
+    pts = jnp.asarray(rng.uniform(1, 5, size=(10, 3)).astype(np.float32))
+    f, c = (500.0, 480.0), (320.0, 240.0)
+    px = cam2pixel(pts, f, c)
+    back = pixel2cam(px, f, c)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), rtol=1e-5)
+
+
+def test_procrustes_alignment(rng):
+    from dposer_tpu.ops.rotations import align_to_gt, procrustes
+
+    A = jnp.asarray(rng.normal(size=(15, 3)))
+    R = rot.axis_angle_to_matrix(jnp.asarray(rng.normal(size=3) * 0.5))
+    B = 0.7 * A @ R.T + jnp.asarray([1.0, -2.0, 0.3])
+    d, Z, tform = procrustes(A, B)
+    np.testing.assert_allclose(np.asarray(Z), np.asarray(A), atol=1e-4)
+    assert float(d) < 1e-5  # fp32: d = 1 - trace^2 carries ~1e-7 rounding
+    aligned = align_to_gt(B, A)  # align pose=B to gt=A ... ref semantics
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(A), atol=1e-4)
+
+
+def test_rotation_matrix_helpers():
+    from dposer_tpu.ops.rotations import get_rotation_matrix_x, get_rotation_matrix_y
+
+    Rx = np.asarray(get_rotation_matrix_x(jnp.pi / 2))
+    np.testing.assert_allclose(Rx @ np.array([0, 1, 0]), [0, 0, 1], atol=1e-6)
+    Ry = np.asarray(get_rotation_matrix_y(jnp.pi / 2))
+    np.testing.assert_allclose(Ry @ np.array([0, 0, 1]), [1, 0, 0], atol=1e-6)
