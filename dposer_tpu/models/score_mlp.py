@@ -177,4 +177,13 @@ def create_score_model(config, n_poses: int = 21) -> nn.Module:
             sigma_max=config.model.sigma_max,
             num_scales=config.model.num_scales,
         )
+    if config.model.type == "TimeMLPs":
+        return TimeMLPs(
+            n_poses=n_poses,
+            pose_dim=pose_dim,
+            hidden_dim=config.model.HIDDEN_DIM,
+            n_blocks=config.model.N_BLOCKS,
+            dropout=config.model.dropout,
+            act_name=config.model.nonlinearity,
+        )
     raise NotImplementedError("unsupported model")

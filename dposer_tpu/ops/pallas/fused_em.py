@@ -48,16 +48,37 @@ def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
+def _box_muller(shape):
+    """Standard normals from the on-core PRNG (Box-Muller, cos branch)."""
+    scale = 1.0 / 16777216.0  # 2^-24
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    shift = jnp.uint32(8)
+
+    def to_unit(bits):
+        # >>8 clears the sign bit, so the int32 reinterpretation is exact
+        # (Mosaic has no uint32->f32 cast)
+        top24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), shift)
+        return pltpu.bitcast(top24, jnp.int32).astype(jnp.float32) * scale
+
+    u1 = to_unit(b1)
+    u2 = to_unit(b2)
+    u1 = jnp.maximum(u1, 1e-12)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
+
+
 def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
-                 hidden: int, denoise: bool):
+                 hidden: int, denoise: bool, kernel_rng: bool):
     """Kernel body builder. Ref layout (all VMEM unless noted):
 
-    refs = [coefs (SMEM [N, 4]),
+    refs = [coefs (SMEM [N, 4]), seed (SMEM [1], kernel_rng only),
             x0, Wpre, W[2*n_blocks], Wpost, bpost,
             gn_scale (VMEM [1+2*n_blocks, H]), gn_bias, G (VMEM [H, NG]),
-            tp_hbm (ANY [N, 1+2*n_blocks, H]), noise_hbm (ANY [N, Bp, Dp]),
+            tp_hbm (ANY [N, n_tp_pad, H]),
+            noise_hbm (ANY [N, Bp, Dp], host-rng mode only),
             out_ref,
-            scratch: x_st, tp_buf [2,...], nz_buf [2,...], sem_tp [2], sem_nz [2]]
+            scratch: x_st, tp_buf [2,...],
+            (host-rng: nz_buf [2,...], sem_nz [2]), sem_tp [2]]
     """
     n_tp = 1 + 2 * n_blocks
     inv_group = 1.0 / (hidden // NUM_GROUPS)
@@ -75,12 +96,26 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
                          preferred_element_type=jnp.float32)
         return (h - mean_f) * rstd_f * scale_row + bias_row
 
-    def kernel(coefs, x0, Wpre, *rest):
+    def kernel(coefs, *rest):
+        if kernel_rng:
+            seed, x0, Wpre = rest[:3]
+            rest = rest[3:]
+        else:
+            x0, Wpre = rest[:2]
+            rest = rest[2:]
         Ws = rest[:2 * n_blocks]
-        (Wpost, bpost, gn_scale, gn_bias, G, tp_hbm, noise_hbm, out_ref,
-         x_st, tp_buf, nz_buf, sem_tp, sem_nz) = rest[2 * n_blocks:]
+        rest = rest[2 * n_blocks:]
+        if kernel_rng:
+            (Wpost, bpost, gn_scale, gn_bias, G, tp_hbm, out_ref,
+             x_st, tp_buf, sem_tp) = rest
+            noise_hbm = nz_buf = sem_nz = None
+        else:
+            (Wpost, bpost, gn_scale, gn_bias, G, tp_hbm, noise_hbm, out_ref,
+             x_st, tp_buf, nz_buf, sem_tp, sem_nz) = rest
 
         x_st[:] = x0[:]
+        if kernel_rng:
+            pltpu.prng_seed(seed[0])
 
         def tp_dma(slot, step):
             return pltpu.make_async_copy(tp_hbm.at[step], tp_buf.at[slot],
@@ -91,7 +126,8 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
                                          sem_nz.at[slot])
 
         tp_dma(0, 0).start()
-        nz_dma(0, 0).start()
+        if not kernel_rng:
+            nz_dma(0, 0).start()
 
         def body(i, _):
             slot = i % 2
@@ -100,10 +136,12 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
             @pl.when(i + 1 < n_steps)
             def _():
                 tp_dma(nxt, i + 1).start()
-                nz_dma(nxt, i + 1).start()
+                if not kernel_rng:
+                    nz_dma(nxt, i + 1).start()
 
             tp_dma(slot, i).wait()
-            nz_dma(slot, i).wait()
+            if not kernel_rng:
+                nz_dma(slot, i).wait()
 
             x = x_st[:]
             xb = x.astype(jnp.bfloat16)
@@ -137,7 +175,8 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
             cout = coefs[i, 1]
             cn = coefs[i, 2]
             x_mean = cx * x + cout * res
-            x_st[:] = x_mean + cn * nz_buf[slot]
+            z_i = _box_muller((batch_p, dim_p)) if kernel_rng else nz_buf[slot]
+            x_st[:] = x_mean + cn * z_i
 
             @pl.when(i == n_steps - 1)
             def _():
@@ -152,12 +191,20 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
 
 def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           shape: Tuple[int, ...], eps: float = 1e-3,
-                          denoise: bool = True, interpret: bool = False):
+                          denoise: bool = True, interpret: bool = False,
+                          rng_mode: str = "host"):
     """Build the single-kernel EM sampler. ``sampler(key, z=None) -> (None, x)``.
 
     Weight/table precomputation happens once at build time (host/XLA);
     the returned callable launches exactly one TPU kernel.
+
+    rng_mode: "host" streams a pregenerated normal array from HBM (stream
+    reproducible under jax PRNG, supports injected noise for tests);
+    "kernel" draws Box-Muller normals from the on-core PRNG (no [N, B, D]
+    noise array, no per-step noise DMA — fastest; TPU only).
     """
+    assert rng_mode in ("host", "kernel")
+    kernel_rng = rng_mode == "kernel"
     if model.embedding_type != "positional":
         raise NotImplementedError("pallas sampler supports positional embeddings")
     batch, dim = shape
@@ -208,32 +255,42 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
     G = jnp.asarray(np.eye(NUM_GROUPS, dtype=np.float32)[group_ids], jnp.bfloat16)
 
-    kernel = _make_kernel(n_steps, n_blocks, batch_p, dim_p, hidden, denoise)
+    kernel = _make_kernel(n_steps, n_blocks, batch_p, dim_p, hidden, denoise,
+                          kernel_rng)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]          # coefs
+    if kernel_rng:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seed
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # x0
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpre
+        *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_blocks)],
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpost
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # bpost
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # gn_scale
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # gn_bias
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # G
+        pl.BlockSpec(memory_space=pl.ANY),       # tp_hbm
+    ]
+    if not kernel_rng:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # noise_hbm
+
+    scratch = [
+        pltpu.VMEM((batch_p, dim_p), jnp.float32),       # x state
+        pltpu.VMEM((2, n_tp_pad, hidden), jnp.float32),  # tp double buffer
+    ]
+    if not kernel_rng:
+        scratch.append(pltpu.VMEM((2, batch_p, dim_p), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))        # sem_tp
+    if not kernel_rng:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))    # sem_nz
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # coefs
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x0
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpre
-            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_blocks)],
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpost
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bpost
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # gn_scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # gn_bias
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # G
-            pl.BlockSpec(memory_space=pl.ANY),    # tp_hbm
-            pl.BlockSpec(memory_space=pl.ANY),    # noise_hbm
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((batch_p, dim_p), jnp.float32),      # x state
-            pltpu.VMEM((2, n_tp_pad, hidden), jnp.float32),  # tp double buffer
-            pltpu.VMEM((2, batch_p, dim_p), jnp.float32),   # noise double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
 
     call = pl.pallas_call(
@@ -253,13 +310,19 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         else:
             x0 = z
         x0p = jnp.zeros((batch_p, dim_p), jnp.float32).at[:batch, :dim].set(x0)
-        if noise is None:
-            noise_p = jax.random.normal(k_noise, (n_steps, batch_p, dim_p), jnp.float32)
-        else:  # injected noise [N, batch, dim] (tests / parity runs)
-            noise_p = jnp.zeros((n_steps, batch_p, dim_p), jnp.float32)
-            noise_p = noise_p.at[:, :batch, :dim].set(noise)
-        out = call(coefs, x0p, Wpre, *Ws, Wpost, bpost, gn_scale, gn_bias, G,
-                   tp_all, noise_p)
+        if kernel_rng:
+            seed = jax.random.randint(k_noise, (1,), 0, 2 ** 31 - 1, jnp.int32)
+            out = call(coefs, seed, x0p, Wpre, *Ws, Wpost, bpost, gn_scale,
+                       gn_bias, G, tp_all)
+        else:
+            if noise is None:
+                noise_p = jax.random.normal(k_noise, (n_steps, batch_p, dim_p),
+                                            jnp.float32)
+            else:  # injected noise [N, batch, dim] (tests / parity runs)
+                noise_p = jnp.zeros((n_steps, batch_p, dim_p), jnp.float32)
+                noise_p = noise_p.at[:, :batch, :dim].set(noise)
+            out = call(coefs, x0p, Wpre, *Ws, Wpost, bpost, gn_scale, gn_bias,
+                       G, tp_all, noise_p)
         return None, out[:batch, :dim]
 
     return sampler

@@ -107,6 +107,30 @@ def convert_ema_shadow_params(shadow_params: List[Any], n_blocks: int = 2,
     return convert_score_model_state_dict(state_dict)
 
 
+def convert_time_mlps_state_dict(state_dict: Dict[str, Any],
+                                 n_blocks: int = 2) -> Dict[str, Any]:
+    """torch TimeMLPs (a Sequential named ``net``) -> flax params.
+
+    torch layout (ref model.py:69-90): net.0 = input Linear, then per block
+    [Linear, act, Dropout] at indices 2, 5, 8, ..., final Linear last.
+    """
+    idx_map = {"net.0": "dense_in"}
+    for b in range(n_blocks):
+        idx_map[f"net.{2 + 3 * b}"] = f"dense_{b}"
+    idx_map[f"net.{2 + 3 * n_blocks}"] = "dense_out"
+
+    params: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for key, value in state_dict.items():
+        prefix, leaf = key.rsplit(".", 1)
+        name = idx_map[prefix]
+        arr = np.asarray(_to_numpy(value), dtype=np.float32)
+        if leaf == "weight":
+            params.setdefault(name, {})["kernel"] = jnp.asarray(arr.T)
+        else:
+            params.setdefault(name, {})["bias"] = jnp.asarray(arr)
+    return params
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Read a reference ``.pth`` checkpoint (requires torch, host-side only)."""
     import torch  # local import: conversion is an offline host utility

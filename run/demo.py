@@ -244,15 +244,38 @@ def main(args):
         det_sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
                                                    inverse_scaler=None, eps=eps)
         inter_body_model = make_body_model(inter_frames)
+        all_renders = []
         for idx in range(anchor_num - 1):
             latents = slerp_interpolation(anchor_z[idx], anchor_z[idx + 1], inter_frames)
             _, samples = det_sampler(jax.random.PRNGKey(0), z=latents)
             try:
-                multiple_render(samples, normalizer, inter_body_model, target_path,
-                                "inter_" + str(idx) + "_{}.png", **render_kwargs)
+                if args.video:
+                    # collect frames for one continuous video (ref demo.py:474-500)
+                    poses_axis = normalizer.offline_denormalize(samples, to_axis=True)
+                    body_out = inter_body_model(pose_body=poses_axis)
+                    meshes = np.asarray(body_out.v)
+                    faces = np.asarray(body_out.f)
+                    for frame in range(inter_frames):
+                        all_renders.append(render_mesh(
+                            bg_img, meshes[frame], faces,
+                            {"focal": FOCAL, "princpt": PRINCPT}, view="front"))
+                else:
+                    multiple_render(samples, normalizer, inter_body_model, target_path,
+                                    "inter_" + str(idx) + "_{}.png", **render_kwargs)
             except FileNotFoundError as e:
                 print(f"[skip renders] {e}")
                 break
+        if args.video and all_renders:
+            import cv2
+
+            os.makedirs(target_path, exist_ok=True)
+            h, w = all_renders[0].shape[:2]
+            video_path = os.path.join(target_path, "interpolation_video.mp4")
+            out = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 60, (w, h))
+            for f in all_renders:
+                out.write(f.astype(np.uint8))
+            out.release()
+            print(f"Video saved at {video_path}")
         print(f"Interpolation outputs under {target_path}")
         return
 

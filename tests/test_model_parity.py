@@ -165,3 +165,39 @@ def test_orbax_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(restored["params"]["dense"]["kernel"]),
                                np.asarray(state["params"]["dense"]["kernel"]))
     assert int(restored["step"]) == 7
+
+
+def test_time_mlps_parity(torch, ref_model_lib, rng):
+    config = make_ref_config()
+    torch.manual_seed(11)
+    tmodel = ref_model_lib.TimeMLPs(config, n_poses=21, pose_dim=3,
+                                    hidden_dim=64, n_blocks=2)
+    tmodel.eval()
+    from dposer_tpu.models import TimeMLPs
+    from dposer_tpu.utils.checkpoint import convert_time_mlps_state_dict
+
+    params = convert_time_mlps_state_dict(tmodel.state_dict(), n_blocks=2)
+    model = TimeMLPs(n_poses=21, pose_dim=3, hidden_dim=64, n_blocks=2,
+                     dropout=0.0)
+    x = rng.normal(size=(8, 63)).astype(np.float32)
+    t = rng.uniform(0, 999, size=(8,)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    out = np.asarray(model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_create_score_model_time_mlps():
+    import ml_collections
+
+    from dposer_tpu.models import create_score_model
+
+    c = ml_collections.ConfigDict()
+    c.data = ml_collections.ConfigDict(dict(rot_rep="axis"))
+    c.model = ml_collections.ConfigDict(dict(
+        type="TimeMLPs", HIDDEN_DIM=64, N_BLOCKS=2, dropout=0.1,
+        nonlinearity="swish"))
+    m = create_score_model(c)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 63)), jnp.zeros((1,)))["params"]
+    out = m.apply({"params": params}, jnp.zeros((2, 63)), jnp.zeros((2,)))
+    assert out.shape == (2, 63)
