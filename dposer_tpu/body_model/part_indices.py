@@ -50,6 +50,74 @@ _SEG_GROUPS: Dict[str, List[str]] = {
 }
 
 
+def smpl_to_openpose(model_type: str = "smplx", use_hands: bool = True,
+                     use_face: bool = True, use_face_contour: bool = False,
+                     openpose_format: str = "coco25"):
+    """Permutation mapping SMPL-family joints to OpenPose order.
+
+    Standard index tables from SMPLify-X tooling (ref
+    lib/body_model/utils.py:68-177); data constants of the released models.
+    """
+    import numpy as np
+
+    if openpose_format.lower() == "coco25":
+        if model_type == "smpl":
+            return np.array([24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4,
+                             7, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34],
+                            dtype=np.int32)
+        if model_type == "smplh":
+            body = np.array([52, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4,
+                             7, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62],
+                            dtype=np.int32)
+            mapping = [body]
+            if use_hands:
+                mapping += [np.array([20, 34, 35, 36, 63, 22, 23, 24, 64, 25,
+                                      26, 27, 65, 31, 32, 33, 66, 28, 29, 30,
+                                      67], dtype=np.int32),
+                            np.array([21, 49, 50, 51, 68, 37, 38, 39, 69, 40,
+                                      41, 42, 70, 46, 47, 48, 71, 43, 44, 45,
+                                      72], dtype=np.int32)]
+            return np.concatenate(mapping)
+        if model_type == "smplx":
+            body = np.array([55, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4,
+                             7, 56, 57, 58, 59, 60, 61, 62, 63, 64, 65],
+                            dtype=np.int32)
+            mapping = [body]
+            if use_hands:
+                mapping += [np.array([20, 37, 38, 39, 66, 25, 26, 27, 67, 28,
+                                      29, 30, 68, 34, 35, 36, 69, 31, 32, 33,
+                                      70], dtype=np.int32),
+                            np.array([21, 52, 53, 54, 71, 40, 41, 42, 72, 43,
+                                      44, 45, 73, 49, 50, 51, 74, 46, 47, 48,
+                                      75], dtype=np.int32)]
+            if use_face:
+                mapping += [np.arange(76, 127 + 17 * use_face_contour,
+                                      dtype=np.int32)]
+            return np.concatenate(mapping)
+        raise ValueError(f"Unknown model type: {model_type}")
+    if openpose_format == "coco19":
+        if model_type == "smpl":
+            return np.array([24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4,
+                             7, 25, 26, 27, 28], dtype=np.int32)
+        if model_type == "smplx":
+            body = np.array([55, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4,
+                             7, 56, 57, 58, 59], dtype=np.int32)
+            mapping = [body]
+            if use_hands:
+                mapping += [np.array([20, 37, 38, 39, 60, 25, 26, 27, 61, 28,
+                                      29, 30, 62, 34, 35, 36, 63, 31, 32, 33,
+                                      64], dtype=np.int32),
+                            np.array([21, 52, 53, 54, 65, 40, 41, 42, 66, 43,
+                                      44, 45, 67, 49, 50, 51, 68, 46, 47, 48,
+                                      69], dtype=np.int32)]
+            if use_face:
+                mapping += [np.arange(70, 70 + 51 + 17 * use_face_contour,
+                                      dtype=np.int32)]
+            return np.concatenate(mapping)
+        raise ValueError(f"Unknown model type: {model_type}")
+    raise ValueError(f"Unknown joint format: {openpose_format}")
+
+
 class BodySegIndices:
     """Vertex-index sets per body part, for part-wise MPVPE.
 

@@ -91,11 +91,31 @@ def main(args):
 
     render_kwargs = dict(bg_img=bg_img, focal=FOCAL, princpt=PRINCPT, view=args.view)
 
+    def build_generation_sampler(shape, eps):
+        """Prefer the single-kernel Pallas sampler when the config matches
+        its scope (EM predictor, no corrector); fall back to the generic
+        fused-scan sampler otherwise or off-TPU."""
+        if (config.sampling.method == "pc"
+                and config.sampling.predictor == "euler_maruyama"
+                and config.sampling.corrector == "none"
+                and config.model.embedding_type == "positional"):
+            try:
+                from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
+
+                s = get_pallas_em_sampler(sde, model, params, shape, eps=eps,
+                                          denoise=config.sampling.noise_removal)
+                s(jax.random.PRNGKey(0))  # compile probe
+                print("[sampler] pallas single-kernel path")
+                return s
+            except Exception as e:
+                print(f"[sampler] pallas unavailable ({type(e).__name__}); using XLA scan")
+        return sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
+                                            inverse_scaler=None, eps=eps)
+
     if args.task == "generation":
         target_path = os.path.join(args.output_path, "generation")
         shape = (sample_num, N_POSES * POSE_DIM)
-        sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
-                                               inverse_scaler=None, eps=sampling_eps)
+        sampler = build_generation_sampler(shape, sampling_eps)
         key, sub = jax.random.split(key)
         _, samples = sampler(sub)
         try:

@@ -183,3 +183,34 @@ def test_demo_fit_cli(workdir):
         "--outdir", os.path.join(workdir["out"], "hmr")], timeout=560)
     assert "after re-projection loss" in out
     assert os.path.exists(os.path.join(workdir["out"], "hmr", "fit_result.npz"))
+
+
+def test_fitting_cli(workdir):
+    """EHF-style directory: image + 2Djnt json + GT ply."""
+    import shutil
+
+    ehf = os.path.join(workdir["out"], "ehf_data")
+    os.makedirs(ehf, exist_ok=True)
+    shutil.copy("/root/reference/examples/image_00077.jpg",
+                os.path.join(ehf, "01_img.jpg"))
+    shutil.copy("/root/reference/examples/image_00077_keypoints.json",
+                os.path.join(ehf, "01_2Djnt.json"))
+    # synthetic GT scan in the synthetic body model's vertex count
+    rng = np.random.default_rng(3)
+    verts = rng.normal(size=(120, 3)).astype("<f4")
+    with open(os.path.join(ehf, "01_align.ply"), "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\nelement vertex 120\n")
+        f.write(b"property float x\nproperty float y\nproperty float z\nend_header\n")
+        f.write(verts.tobytes())
+
+    out = run_cli([
+        "run.fitting",
+        "--data-dir", ehf,
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--config-path", "tests.cli_tiny_config.get_config",
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--sde-N", "50",
+        "--outdir", os.path.join(workdir["out"], "ehf_out")], timeout=560)
+    assert "results on whole dataset" in out
+    assert "PA MPJPE" in out

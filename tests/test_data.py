@@ -135,3 +135,15 @@ def test_create_mask(rng):
     poses6 = jnp.asarray(rng.normal(size=(4, 126)).astype(np.float32))
     mask6, _ = create_mask(jax.random.PRNGKey(1), poses6, part="right_arm")
     assert float(mask6.sum()) == 4 * (126 - 4 * 6)
+
+
+def test_smpl_to_openpose_tables():
+    from dposer_tpu.body_model.part_indices import smpl_to_openpose
+
+    m = smpl_to_openpose("smplx", use_hands=True, use_face=True)
+    assert m.shape == (25 + 21 + 21 + 51,)  # body + 2 hands + face
+    assert m[0] == 55 and m[-1] == 126
+    m19 = smpl_to_openpose("smpl", openpose_format="coco19")
+    assert m19.shape == (19,)
+    ms = smpl_to_openpose("smpl")
+    assert ms.shape == (25,)

@@ -152,3 +152,22 @@ def test_config_dispatch():
                                       inverse_scaler=lambda x: x * 2, eps=1e-3)
     _, x = fn(jax.random.PRNGKey(0))
     assert x.shape == (4, DIM)
+
+
+def test_latent_roundtrip_analytic():
+    """PF-ODE encode (likelihood z) -> deterministic decode must reconstruct
+    the input when the score is exact (the interpolation task's core path)."""
+    from dposer_tpu.diffusion.likelihood import get_likelihood_fn
+
+    sde = sde_lib.SubVPSDE(N=1000)
+    score_fn = gaussian_score(sde)
+    data = M0 + S0 * jax.random.normal(jax.random.PRNGKey(0), (8, DIM))
+    lik = get_likelihood_fn(sde, score_fn, rtol=1e-4, atol=1e-4, eps=1e-4)
+    _, z, _ = lik(jax.random.PRNGKey(1), data)
+    # decode with the deterministic PC sampler (probability_flow EM),
+    # matching run.demo's interpolation configuration
+    sampler = sampling_lib.get_pc_sampler(
+        sde, (8, DIM), score_fn, predictor="euler_maruyama", corrector="none",
+        probability_flow=True, denoise=True, eps=1e-5)
+    _, recon = sampler(jax.random.PRNGKey(2), z=z)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(data), atol=0.05)
