@@ -42,12 +42,20 @@ def parse_args(argv):
     parser.add_argument("--task", type=str, default=None)
     parser.add_argument("--name", type=str, default="")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed for multi-host TPU "
+                             "slices (coordinator from TPU env)")
     return parser.parse_args(argv[1:])
 
 
 def main(args):
+    import signal
+
     import jax
     import jax.numpy as jnp
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     from dposer_tpu import N_POSES, parallel as par
     from dposer_tpu.body_model.smplx_jax import BodyModel
@@ -184,11 +192,38 @@ def main(args):
     step = int(state.step)
     batches = train_dataset.train_batches(config.training.batch_size, seed=args.seed)
 
-    while step < num_train_steps:
+    # graceful-preemption checkpointing (new capability; the reference
+    # swallows all failures, ref train.py:406-410). On SIGTERM/SIGINT the
+    # loop exits at the next step boundary and saves a resumable checkpoint.
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        logger.info(f"signal {signum} received -> checkpoint and exit")
+        stop_requested["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _request_stop)
+        except ValueError:
+            pass  # non-main thread (tests)
+
+    def save_checkpoint(tag=None):
+        path = os.path.join(final_output_dir, f"checkpoint-step{tag or step}")
+        ckpt_lib.save_train_state(path, jax.device_get({
+            "params": state.params, "opt_state": state.opt_state,
+            "ema": {"shadow_params": state.ema.shadow_params,
+                    "num_updates": state.ema.num_updates,
+                    "decay": state.ema.decay},
+            "step": int(state.step)}))
+        return path
+
+    while step < num_train_steps and not stop_requested["flag"]:
         batch = next(batches)
         key, k_step = jax.random.split(key)
         state, loss_dict = sharded_step(state, k_step, par.shard_batch(mesh, batch))
         step = int(state.step)
+        if stop_requested["flag"]:
+            break  # skip eval/periodic-save; the preemption checkpoint follows
 
         for k, v in loss_dict.items():
             metrics[k] = metrics.get(k, 0.0) + float(v)
@@ -289,14 +324,11 @@ def main(args):
 
         if step % config.training.save_freq == 0:
             logger.info(f"Save checkpoint to {final_output_dir}")
-            ckpt_lib.save_train_state(
-                os.path.join(final_output_dir, f"checkpoint-step{step}"),
-                jax.device_get({"params": state.params,
-                                "opt_state": state.opt_state,
-                                "ema": {"shadow_params": state.ema.shadow_params,
-                                        "num_updates": state.ema.num_updates,
-                                        "decay": state.ema.decay},
-                                "step": int(state.step)}))
+            save_checkpoint()
+
+    if stop_requested["flag"]:
+        path = save_checkpoint()
+        logger.info(f"preemption checkpoint saved: {path}")
 
     writer.close()
     logger.info(f"End. Final output dir: {final_output_dir}")

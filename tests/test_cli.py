@@ -214,3 +214,44 @@ def test_fitting_cli(workdir):
         "--outdir", os.path.join(workdir["out"], "ehf_out")], timeout=560)
     assert "results on whole dataset" in out
     assert "PA MPJPE" in out
+
+
+def test_train_preemption_checkpoint(workdir):
+    """SIGTERM mid-training must save a resumable checkpoint (new capability)."""
+    import glob
+    import signal
+    import subprocess
+    import time
+
+    env = dict(os.environ)
+    env["DPOSER_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    outdir = os.path.join(workdir["out"], "preempt")
+    # long n_iters via the base config; we will preempt long before the end
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "run.train", "--config", workdir["config"],
+         "--dataset-folder", workdir["data_root"], "--version", "version1",
+         "--bodymodel-path", "/nonexistent", "--sample", "1",
+         "--name", "preempt"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    # wait for a couple of logged steps, then preempt
+    deadline = time.time() + 300
+    lines = []
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        lines.append(line)
+        if "Iter: [" in line:
+            break
+    else:
+        proc.kill()
+        raise AssertionError("training never logged a step:\n" + "".join(lines))
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out
+    assert "preemption checkpoint saved" in out
+    run_dirs = glob.glob(os.path.join(REPO, "output", "amass_amass", "*preempt*"))
+    ckpts = []
+    for d in run_dirs:
+        ckpts.extend(glob.glob(os.path.join(d, "checkpoint-step*")))
+    assert ckpts, f"no checkpoint under {run_dirs}"
