@@ -205,6 +205,22 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     """
     assert rng_mode in ("host", "kernel")
     kernel_rng = rng_mode == "kernel"
+    # VMEM budget guard: weights (bf16) + x/noise/tp buffers + ~3 live
+    # activations must fit on-core; refuse early with a clear error so
+    # callers can fall back to the XLA sampler.
+    batch_p_est = _round_up(shape[0], 128)
+    dim_p_est = _round_up(shape[1], 128)
+    h = model.hidden_dim
+    est = (2 * (shape[1] * h + 2 * model.n_blocks * h * h + h * shape[1])  # bf16 weights
+           + 4 * (batch_p_est * dim_p_est) * (1 if rng_mode == "kernel" else 3)
+           + 4 * 3 * batch_p_est * h                                        # activations
+           + 4 * 2 * 8 * h)                                                 # tp buffers
+    _VMEM_BUDGET = 100 * 1024 * 1024
+    if est > _VMEM_BUDGET:
+        raise ValueError(
+            f"pallas fused sampler needs ~{est / 2**20:.0f} MiB VMEM for "
+            f"shape {shape} / hidden {h} (budget {_VMEM_BUDGET / 2**20:.0f} "
+            f"MiB); use the XLA fast sampler or shard the batch")
     if model.embedding_type != "positional":
         raise NotImplementedError("pallas sampler supports positional embeddings")
     batch, dim = shape

@@ -196,3 +196,35 @@ def restore_train_state(path: str, target: Optional[Dict[str, Any]] = None) -> D
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         return ckptr.restore(path, item=target)
+
+
+def _main():
+    """CLI: convert a reference .pth checkpoint to a native orbax directory.
+
+        python -m dposer_tpu.utils.checkpoint ckpt.pth out_dir \
+            [--n-blocks 2] [--embedding-type positional]
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Convert PyTorch DPoser "
+                                     "checkpoints to native orbax format.")
+    parser.add_argument("src", help="reference .pth checkpoint")
+    parser.add_argument("dst", help="output orbax directory")
+    parser.add_argument("--n-blocks", type=int, default=2)
+    parser.add_argument("--embedding-type", type=str, default="positional")
+    args = parser.parse_args()
+
+    cv = convert_torch_checkpoint(args.src, n_blocks=args.n_blocks,
+                                  embedding_type=args.embedding_type)
+    state = {"params": cv["params"], "step": cv["step"]}
+    if cv["ema_params"] is not None:
+        state["ema"] = {"shadow_params": cv["ema_params"],
+                        "num_updates": cv["ema_num_updates"] or 0,
+                        "decay": cv["ema_decay"]}
+    save_train_state(args.dst, state)
+    n = sum(np.asarray(p).size for p in jax.tree.leaves(cv["params"]))
+    print(f"converted {args.src} (step {cv['step']}, {n / 1e6:.2f}M params) -> {args.dst}")
+
+
+if __name__ == "__main__":
+    _main()
