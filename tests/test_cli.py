@@ -255,3 +255,29 @@ def test_train_preemption_checkpoint(workdir):
     for d in run_dirs:
         ckpts.extend(glob.glob(os.path.join(d, "checkpoint-step*")))
     assert ckpts, f"no checkpoint under {run_dirs}"
+
+
+def test_demo_view(workdir):
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "view",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--file-path", workdir["toy"],
+        "--output-path", workdir["out"]])
+    assert "rendered images saved" in out
+    assert os.path.exists(os.path.join(workdir["out"], "view", "GT_sample0.png"))
+
+
+def test_demo_generation_process(workdir):
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "generation_process",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--output-path", workdir["out"]])
+    assert "Video saved at" in out
+    assert os.path.exists(os.path.join(workdir["out"], "generation_process",
+                                       "generation_process0.mp4"))
