@@ -21,9 +21,7 @@ vertex keypoints + 51 barycentric face landmarks = 127, matching
 """
 from __future__ import annotations
 
-import dataclasses
-import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

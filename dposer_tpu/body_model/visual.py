@@ -9,11 +9,7 @@ the fallback.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
-
-from ..ops.rotations import axis_angle_to_matrix
 
 _VIEW_ANGLES = {
     "front": (0.0, 0.0),
@@ -144,8 +140,6 @@ def vis_skeletons(joints3d: np.ndarray, output_path: str,
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-
-    from .part_indices import BODY_JOINT_NAMES  # noqa: F401 (doc aid)
 
     if skeleton is None:
         skeleton = get_smpl_skeleton()

@@ -5,9 +5,6 @@ light mesh-file readers (the PLY reader is self-contained — no plyfile dep).
 """
 from __future__ import annotations
 
-import struct as _struct
-from typing import Tuple
-
 import numpy as np
 
 from ..body_model import constants

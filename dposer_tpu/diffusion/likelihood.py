@@ -9,7 +9,7 @@ round-trips device->numpy on every scipy RHS evaluation.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Capability parity with ref ``lib/algorithms/advanced/losses.py``:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ from flax import struct
 
 from .ema import EMAState, ema_init, ema_update
 from .score_fn import get_score_fn
-from .sde import SDE, VESDE, VPSDE, SubVPSDE, batch_mul
+from .sde import SDE, VESDE, VPSDE, batch_mul
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ initial-step-size heuristic, so NFE and accuracy are comparable.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -23,15 +23,13 @@ Per-step PRNG comes from ``fold_in`` on the carried key.
 """
 from __future__ import annotations
 
-import functools
 import math
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from . import ode as ode_lib
-from .score_fn import get_score_fn
 from .sde import SDE, VESDE, VPSDE, SubVPSDE, batch_mul
 
 _PREDICTORS = {}

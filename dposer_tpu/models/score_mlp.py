@@ -17,9 +17,6 @@ recomputes it per row).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -15,7 +15,7 @@ runs unchanged on a TPU slice.
 """
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np

@@ -16,7 +16,6 @@ Faithful details:
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

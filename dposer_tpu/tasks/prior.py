@@ -10,8 +10,7 @@ through the clean-pose argument of the L2.
 """
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

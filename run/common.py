@@ -6,9 +6,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-
 from dposer_tpu import N_POSES
 from dposer_tpu.data import PoseNormalizer
 from dposer_tpu.diffusion.score_fn import get_score_fn

@@ -6,7 +6,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from dposer_tpu.tasks.smplify import DPoser, SMPLify  # noqa: F401
+from dposer_tpu.tasks.smplify import DPoser, SMPLify  # noqa: F401  (re-export)
 
 
 def build_dposer_prior(args, batch_size: int = 1):
