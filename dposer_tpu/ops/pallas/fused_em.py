@@ -67,8 +67,9 @@ def _box_muller(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
 
 
-def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
-                 hidden: int, denoise: bool, kernel_rng: bool):
+def _make_kernel(n_steps: int, n_blocks: int, batch_blk: int, dim_p: int,
+                 hidden: int, denoise: bool, kernel_rng: bool,
+                 gridded: bool = True):
     """Kernel body builder. Ref layout (all VMEM unless noted):
 
     refs = [coefs (SMEM [N, 4]), seed (SMEM [1], kernel_rng only),
@@ -113,17 +114,22 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
             (Wpost, bpost, gn_scale, gn_bias, G, tp_hbm, noise_hbm, out_ref,
              x_st, tp_buf, nz_buf, sem_tp, sem_nz) = rest
 
+        i_blk = pl.program_id(0) if gridded else 0
+        row0 = i_blk * batch_blk
+
         x_st[:] = x0[:]
         if kernel_rng:
-            pltpu.prng_seed(seed[0])
+            # decorrelate the PRNG stream across batch blocks
+            pltpu.prng_seed(seed[0] + i_blk)
 
         def tp_dma(slot, step):
             return pltpu.make_async_copy(tp_hbm.at[step], tp_buf.at[slot],
                                          sem_tp.at[slot])
 
         def nz_dma(slot, step):
-            return pltpu.make_async_copy(noise_hbm.at[step], nz_buf.at[slot],
-                                         sem_nz.at[slot])
+            return pltpu.make_async_copy(
+                noise_hbm.at[step, pl.ds(row0, batch_blk)], nz_buf.at[slot],
+                sem_nz.at[slot])
 
         tp_dma(0, 0).start()
         if not kernel_rng:
@@ -175,7 +181,7 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
             cout = coefs[i, 1]
             cn = coefs[i, 2]
             x_mean = cx * x + cout * res
-            z_i = _box_muller((batch_p, dim_p)) if kernel_rng else nz_buf[slot]
+            z_i = _box_muller((batch_blk, dim_p)) if kernel_rng else nz_buf[slot]
             x_st[:] = x_mean + cn * z_i
 
             @pl.when(i == n_steps - 1)
@@ -192,7 +198,7 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_p: int, dim_p: int,
 def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           shape: Tuple[int, ...], eps: float = 1e-3,
                           denoise: bool = True, interpret: bool = False,
-                          rng_mode: str = "host"):
+                          rng_mode: str = "host", batch_block: int = 512):
     """Build the single-kernel EM sampler. ``sampler(key, z=None) -> (None, x)``.
 
     Weight/table precomputation happens once at build time (host/XLA);
@@ -208,7 +214,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     # VMEM budget guard: weights (bf16) + x/noise/tp buffers + ~3 live
     # activations must fit on-core; refuse early with a clear error so
     # callers can fall back to the XLA sampler.
-    batch_p_est = _round_up(shape[0], 128)
+    batch_p_est = min(_round_up(shape[0], 128), batch_block)
     dim_p_est = _round_up(shape[1], 128)
     h = model.hidden_dim
     est = (2 * (shape[1] * h + 2 * model.n_blocks * h * h + h * shape[1])  # bf16 weights
@@ -219,15 +225,19 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     if est > _VMEM_BUDGET:
         raise ValueError(
             f"pallas fused sampler needs ~{est / 2**20:.0f} MiB VMEM for "
-            f"shape {shape} / hidden {h} (budget {_VMEM_BUDGET / 2**20:.0f} "
-            f"MiB); use the XLA fast sampler or shard the batch")
+            f"batch_block {batch_block} / hidden {h} (budget "
+            f"{_VMEM_BUDGET / 2**20:.0f} MiB); reduce batch_block")
     if model.embedding_type != "positional":
         raise NotImplementedError("pallas sampler supports positional embeddings")
     batch, dim = shape
     hidden = model.hidden_dim
     n_blocks = model.n_blocks
     n_steps = sde.N
-    batch_p = _round_up(batch, 128)
+    # grid over batch blocks: arbitrary batch sizes run block-sequentially
+    # with weights VMEM-resident, each block doing the full N-step loop
+    batch_blk = min(_round_up(batch, 128), batch_block)
+    batch_p = _round_up(batch, batch_blk)
+    n_blk = batch_p // batch_blk
     dim_p = _round_up(dim, 128)
 
     timesteps = sde.timesteps(eps)
@@ -271,14 +281,19 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
     G = jnp.asarray(np.eye(NUM_GROUPS, dtype=np.float32)[group_ids], jnp.bfloat16)
 
-    kernel = _make_kernel(n_steps, n_blocks, batch_p, dim_p, hidden, denoise,
-                          kernel_rng)
+    kernel = _make_kernel(n_steps, n_blocks, batch_blk, dim_p, hidden, denoise,
+                          kernel_rng, gridded=n_blk > 1)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]          # coefs
     if kernel_rng:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seed
+    # gridless fast path when one block covers the batch (saves ~5 ms of
+    # Mosaic grid machinery on the headline 500-sample config)
+    x0_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if n_blk == 1 else
+               pl.BlockSpec((batch_blk, dim_p), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM))
     in_specs += [
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # x0
+        x0_spec,                                 # x0 (blocked when gridded)
         pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpre
         *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_blocks)],
         pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpost
@@ -292,20 +307,23 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # noise_hbm
 
     scratch = [
-        pltpu.VMEM((batch_p, dim_p), jnp.float32),       # x state
+        pltpu.VMEM((batch_blk, dim_p), jnp.float32),     # x state
         pltpu.VMEM((2, n_tp_pad, hidden), jnp.float32),  # tp double buffer
     ]
     if not kernel_rng:
-        scratch.append(pltpu.VMEM((2, batch_p, dim_p), jnp.float32))
+        scratch.append(pltpu.VMEM((2, batch_blk, dim_p), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))        # sem_tp
     if not kernel_rng:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))    # sem_nz
 
+    out_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if n_blk == 1 else
+                pl.BlockSpec((batch_blk, dim_p), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(),
+        grid=() if n_blk == 1 else (n_blk,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=scratch,
     )
 

@@ -67,3 +67,23 @@ def test_kernel_prior_sampling_runs():
     _, x = sampler(jax.random.PRNGKey(5))
     assert x.shape == (4, 63)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_kernel_multi_block_grid():
+    """Batch larger than batch_block runs the grid path; per-sample results
+    must be independent of the blocking (compare 2-block vs 1-block)."""
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+                         n_blocks=1, dropout=0.0, scale_by_sigma=False)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 63)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.SubVPSDE(N=15)
+    shape = (256, 63)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), shape)
+    noise = jax.random.normal(jax.random.PRNGKey(3), (15,) + shape)
+    one = get_pallas_em_sampler(sde, model, params, shape, interpret=True,
+                                batch_block=256)
+    two = get_pallas_em_sampler(sde, model, params, shape, interpret=True,
+                                batch_block=128)
+    _, a = one(jax.random.PRNGKey(4), z=x0, noise=noise)
+    _, b = two(jax.random.PRNGKey(4), z=x0, noise=noise)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
