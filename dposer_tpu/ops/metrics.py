@@ -12,6 +12,7 @@
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -71,9 +72,19 @@ class Evaler:
         if part is not None:
             self.joint_idx = np.asarray(getattr(BodyPartIndices, part)) + 1
             try:
-                self.vert_idx = np.asarray(BodySegIndices.load(seg_json_path)[part])
-            except (FileNotFoundError, KeyError):
-                self.vert_idx = slice(None)  # synthetic models: all vertices
+                from ..body_model import constants
+
+                path = seg_json_path or os.environ.get("DPOSER_VERT_SEG_PATH")                     or constants.VERT_SEG_PATH
+                vert_idx = np.asarray(BodySegIndices.load(path)[part])
+                num_verts = body_model.model.v_template.shape[0]
+                if vert_idx.max() >= num_verts:
+                    # segmentation is for the real SMPL-X mesh; synthetic /
+                    # reduced models score all vertices instead
+                    self.vert_idx = slice(None)
+                else:
+                    self.vert_idx = vert_idx
+            except (FileNotFoundError, KeyError, AttributeError):
+                self.vert_idx = slice(None)
         else:
             self.joint_idx = slice(None)
             self.vert_idx = slice(None)
