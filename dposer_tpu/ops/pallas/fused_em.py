@@ -198,7 +198,9 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_blk: int, dim_p: int,
 def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           shape: Tuple[int, ...], eps: float = 1e-3,
                           denoise: bool = True, interpret: bool = False,
-                          rng_mode: str = "host", batch_block: int = 512):
+                          rng_mode: str = "host", batch_block: int = 512,
+                          corrector: str = "none", snr: float = 0.16,
+                          n_corrector_steps: int = 1, mesh=None):
     """Build the single-kernel EM sampler. ``sampler(key, z=None) -> (None, x)``.
 
     Weight/table precomputation happens once at build time (host/XLA);
@@ -210,6 +212,12 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     noise array, no per-step noise DMA — fastest; TPU only).
     """
     assert rng_mode in ("host", "kernel")
+    if corrector not in ("none",):
+        raise NotImplementedError(
+            f"pallas sampler: corrector '{corrector}' not yet in-kernel")
+    if mesh is not None and mesh.devices.size > 1:
+        raise NotImplementedError(
+            "pallas sampler: multi-device mesh path not yet wired")
     kernel_rng = rng_mode == "kernel"
     # VMEM budget guard: weights (bf16) + x/noise/tp buffers + ~3 live
     # activations must fit on-core; refuse early with a clear error so

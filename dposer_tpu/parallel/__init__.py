@@ -1,2 +1,4 @@
-from .sharding import (data_parallel_sampler, data_parallel_step, make_mesh,
-                       replicate, shard_batch, shard_eval_batches)
+from .sharding import (allgather_ragged_1d, batch_sharding,
+                       data_parallel_sampler, data_parallel_step, make_mesh,
+                       pad_batch_to_multiple, replicate, shard_batch,
+                       shard_eval_batches, shard_global_batch)

@@ -25,9 +25,18 @@ DATA_AXIS = "data"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = (DATA_AXIS,),
-              shape: Optional[Sequence[int]] = None) -> Mesh:
-    """A 1-D (default) or reshaped mesh over the first ``n_devices`` devices."""
-    devs = jax.devices()[: (n_devices or len(jax.devices()))]
+              shape: Optional[Sequence[int]] = None, local: bool = False) -> Mesh:
+    """A 1-D (default) or reshaped mesh over the first ``n_devices`` devices.
+
+    ``local=True`` restricts the mesh to this process's devices — the right
+    topology for multi-host *eval*, where each process owns a disjoint slice
+    of the test set (via ``shard_eval_batches``) and parallelizes its own
+    batches over its own chips, mirroring the reference's process-per-GPU
+    split (ref run/completion.py:326-338). Training uses the default global
+    mesh instead (one data-parallel program over all hosts).
+    """
+    all_devs = jax.local_devices() if local else jax.devices()
+    devs = all_devs[: (n_devices or len(all_devs))]
     if shape is None:
         shape = (len(devs),) + (1,) * (len(axis_names) - 1)
     arr = np.asarray(devs).reshape(shape)
@@ -43,8 +52,35 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch) -> jax.Array:
-    """Place a host batch onto the mesh, split along dim 0."""
+    """Place a host batch onto the mesh, split along dim 0.
+
+    Works for process-local meshes and for single-process global meshes.
+    For a global mesh spanning several processes use
+    ``shard_global_batch`` (each host contributes its slice).
+    """
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def shard_global_batch(mesh: Mesh, batch) -> jax.Array:
+    """Assemble a globally-sharded batch on a (possibly multi-host) mesh.
+
+    Every process passes the SAME full logical batch (e.g. drawn from an
+    identically-seeded stream); each host keeps only its slice and the
+    result is one global array sharded along dim 0 — the multi-host form of
+    ``shard_batch``. Single-process: identical to ``shard_batch``.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    from jax.experimental import multihost_utils
+
+    n = batch.shape[0]
+    pc = jax.process_count()
+    if n % pc:
+        raise ValueError(f"global batch {n} must be divisible by {pc} processes")
+    per = n // pc
+    local = np.asarray(batch)[jax.process_index() * per:(jax.process_index() + 1) * per]
+    return multihost_utils.host_local_array_to_global_array(
+        local, mesh, P(DATA_AXIS))
 
 
 def data_parallel_step(step_fn: Callable, mesh: Mesh) -> Callable:
@@ -60,19 +96,77 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh) -> Callable:
 
 
 def data_parallel_sampler(sampler: Callable, mesh: Mesh) -> Callable:
-    """Wrap a built sampler so its outputs are sharded along the batch dim.
+    """Compile a built sampler data-parallel over the mesh (jitted ONCE).
 
-    The sampler's shape is fixed at build time; sharding its internALS comes
-    free via GSPMD once inputs/outputs are annotated.
+    ``sampler(key, observation=None, mask=None, z=None) -> (trajs|None, x)``
+    (the ``get_pc_sampler`` contract). Array inputs and the sample output
+    ``x [B, D]`` (plus the trajectory's batch axis, when collected) are
+    constrained to batch sharding, so GSPMD partitions the whole reverse
+    loop along the batch dim — the TPU-native replacement for the
+    reference's process-per-GPU eval (ref run/completion.py:326-338).
+
+    Uses ``with_sharding_constraint`` (not ``in_shardings``) so batch sizes
+    that do not divide the mesh still run (GSPMD pads internally).
     """
-    repl = replicate(mesh)
-    out_shard = NamedSharding(mesh, P(None))  # final gather to replicated
+    bshard = batch_sharding(mesh)
+    tshard = NamedSharding(mesh, P(None, DATA_AXIS))  # [steps, B, D] trajs
 
-    def run(key, **kwargs):
-        return jax.jit(lambda k: sampler(k, **kwargs),
-                       in_shardings=(repl,), out_shardings=None)(key)
+    def _constrain(x, sharding):
+        return jax.lax.with_sharding_constraint(x, sharding)
+
+    @jax.jit
+    def run(key, observation=None, mask=None, z=None):
+        kwargs = {}
+        if observation is not None:
+            kwargs["observation"] = _constrain(observation, bshard)
+        if mask is not None:
+            kwargs["mask"] = _constrain(mask, bshard)
+        if z is not None:
+            kwargs["z"] = _constrain(z, bshard)
+        trajs, x = sampler(key, **kwargs)
+        x = _constrain(x, bshard)
+        if trajs is not None and getattr(trajs, "ndim", 0) >= 2:
+            trajs = _constrain(trajs, tshard)
+        return trajs, x
 
     return run
+
+
+def pad_batch_to_multiple(batch: np.ndarray, multiple: int):
+    """Pad dim 0 up to a multiple (repeating the last row) -> (padded, n).
+
+    Entry points pad eval batches so explicit ``in_shardings`` (which require
+    divisibility, unlike constraint-based sharding) always apply; per-sample
+    results are trimmed back to ``n`` afterwards.
+    """
+    n = batch.shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch, n
+    pad = np.repeat(np.asarray(batch)[-1:], multiple - rem, axis=0)
+    return np.concatenate([np.asarray(batch), pad], axis=0), n
+
+
+def allgather_ragged_1d(arr: np.ndarray) -> np.ndarray:
+    """Gather variable-length per-process 1-D host arrays (all processes).
+
+    ``multihost_utils.process_allgather`` requires equal shapes across
+    processes, but eval shards are ragged whenever the batch count does not
+    divide the process count (``shard_eval_batches`` pads nothing, matching
+    ref lib/dataset/EvaSampler.py:88-111). Gather the true lengths first,
+    pad to the global max, gather, then trim per process.
+    """
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(arr)
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([arr.shape[0]], np.int32))).reshape(-1)
+    m = int(counts.max())
+    padded = np.zeros((max(m, 1),), arr.dtype)
+    padded[:arr.shape[0]] = arr
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(len(counts), -1)
+    return np.concatenate([gathered[i, :counts[i]] for i in range(len(counts))])
 
 
 def shard_eval_batches(dataset_len: int, batch_size: int,

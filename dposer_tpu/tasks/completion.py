@@ -33,7 +33,7 @@ class DPoserComp:
                  batch_size: Optional[int] = None, lr: float = 0.1,
                  iterations: int = 2, steps_per_iter: int = 100,
                  time_strategy: str = "3", sample_trun: float = 5.0,
-                 sample_time: int = 900):
+                 sample_time: int = 900, mesh=None):
         self.sde = sde
         self.prior = DPoserPrior(sde, score_fn)
         self.lr = lr
@@ -43,9 +43,29 @@ class DPoserComp:
         self.time_strategy = time_strategy
         self.sample_trun = sample_trun
         self.sample_time = sample_time
-        self._optimize = jax.jit(self._optimize_impl)
-        self._optimize_hypos = jax.jit(jax.vmap(self._optimize_impl,
-                                                in_axes=(0, None, None)))
+        if mesh is None:
+            self._optimize = jax.jit(self._optimize_impl)
+            self._optimize_hypos = jax.jit(jax.vmap(self._optimize_impl,
+                                                    in_axes=(0, None, None)))
+        else:
+            # data-parallel over the mesh: observation/mask sharded along
+            # batch, the whole Adam loop partitions via GSPMD (the TPU-native
+            # replacement for ref run/completion.py's process-per-GPU eval).
+            # Batch size must be a multiple of the mesh size (entry points
+            # pad via parallel.pad_batch_to_multiple).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import DATA_AXIS
+
+            repl = NamedSharding(mesh, P())
+            bshard = NamedSharding(mesh, P(DATA_AXIS))
+            self._optimize = jax.jit(
+                self._optimize_impl,
+                in_shardings=(repl, bshard, bshard), out_shardings=bshard)
+            self._optimize_hypos = jax.jit(
+                jax.vmap(self._optimize_impl, in_axes=(0, None, None)),
+                in_shardings=(repl, bshard, bshard),
+                out_shardings=NamedSharding(mesh, P(None, DATA_AXIS)))
 
     # -- loss -----------------------------------------------------------------
     def _loss(self, x, key, t, observation, mask):

@@ -1,9 +1,13 @@
 """Whole-AMASS-testset completion evaluation (ref ``run/completion.py``).
 
 TPU-native: the reference's process-per-GPU gloo machinery collapses to a
-single program — hypotheses run under ``vmap`` and every batch is
-data-parallel across local devices via GSPMD (multi-host shards the batch
-stream by ``jax.process_index``). The ``--gpus``/``--port`` flags are
+single program — hypotheses run under ``vmap``, and every batch is placed on
+a ``jax.sharding.Mesh`` over all local devices so the whole Adam loop
+partitions along the batch dim via GSPMD (batches are padded to a multiple
+of the mesh size and per-sample metrics trimmed). Multi-host shards the
+batch stream by ``jax.process_index`` and gathers ragged per-host metric
+arrays with a length-aware allgather (replaces ``dist.gather_object``,
+ref run/completion.py:300-321). The ``--gpus``/``--port`` flags are
 accepted for CLI compatibility and ignored.
 
     python -m run.completion --config configs/subvp/amass_scorefc_continuous.py \
@@ -47,11 +51,24 @@ def parse_args(argv):
                              "all local devices are used automatically)")
     parser.add_argument("--port", type=str, default="14600", help="unused")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (TPU pods: coordinator "
+                             "auto-detected; elsewhere set --coordinator/"
+                             "--num-processes/--process-id)")
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     return parser.parse_args(argv[1:])
 
 
 def main(args):
     import jax
+
+    if args.multihost:
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
+
     import jax.numpy as jnp
 
     from dposer_tpu import parallel as par
@@ -79,34 +96,41 @@ def main(args):
                            batch_size=args.batch_size, model_type="smplx")
     print(f"total samples with reduction: {len(test_dataset)}")
 
-    compfn = DPoserComp(sde, score_fn, config.training.continuous)
+    mesh = par.make_mesh(local=True)
+    n_dev = mesh.devices.size
+    print(f"data-parallel over {n_dev} local device(s), "
+          f"{jax.process_count()} process(es)")
+    compfn = DPoserComp(sde, score_fn, config.training.continuous, mesh=mesh)
     evaler = Evaler(body_model=body_model, part=args.part)
 
     batch_range = par.shard_eval_batches(len(test_dataset), args.batch_size)
     collected = {"mpvpe_all": [], "mpjpe_body": []}
     batches = list(test_dataset.eval_batches(args.batch_size))
     for bi in batch_range:
-        poses = jnp.asarray(batches[bi])
-        key, km, ko = jax.random.split(key, 3)
+        # pad to the mesh size so explicit in_shardings apply, trim after
+        padded, n_real = par.pad_batch_to_multiple(np.asarray(batches[bi]), n_dev)
+        poses = par.shard_batch(mesh, jnp.asarray(padded))
+        # key per batch INDEX (not per loop iteration): results are
+        # independent of how batches are sharded across processes
+        km, ko = jax.random.split(jax.random.fold_in(key, bi))
         mask, observation = create_mask(km, poses, part=args.part)
         multihypo = compfn.optimize_hypos(ko, observation, mask, args.hypo)
 
-        preds = normalizer.offline_denormalize(multihypo, to_axis=True)
-        gts = normalizer.offline_denormalize(poses, to_axis=True)
+        preds = normalizer.offline_denormalize(multihypo[:n_real], to_axis=True)
+        gts = normalizer.offline_denormalize(poses[:n_real], to_axis=True)
         res = evaler.multi_eval_bodys(preds, gts)
-        collected["mpvpe_all"].extend(res["mpvpe_all"].tolist())
-        collected["mpjpe_body"].extend(res["mpjpe_body"].tolist())
+        collected["mpvpe_all"].extend(np.asarray(res["mpvpe_all"]).tolist())
+        collected["mpjpe_body"].extend(np.asarray(res["mpjpe_body"]).tolist())
         print(f"batch {bi}: mpvpe {np.mean(res['mpvpe_all']):.2f} "
               f"mpjpe {np.mean(res['mpjpe_body']):.2f}")
 
-    # multi-host: gather via process_allgather when distributed
+    # multi-host: per-process shards are ragged when the batch count does not
+    # divide the process count -> length-aware gather (ref gather_object
+    # collects python lists of unequal length, run/completion.py:300-305)
     if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
         for k in collected:
-            arr = np.asarray(collected[k], np.float32)
-            gathered = multihost_utils.process_allgather(arr)
-            collected[k] = np.concatenate(gathered).tolist()
+            collected[k] = par.allgather_ragged_1d(
+                np.asarray(collected[k], np.float32)).tolist()
 
     if jax.process_index() == 0:
         for k, v in collected.items():

@@ -61,7 +61,7 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from dposer_tpu import N_POSES
+    from dposer_tpu import N_POSES, parallel as par
     from dposer_tpu.body_model.smplx_jax import BodyModel
     from dposer_tpu.body_model.visual import multiple_render, render_mesh
     from dposer_tpu.diffusion import sampling as sampling_lib
@@ -91,26 +91,36 @@ def main(args):
 
     render_kwargs = dict(bg_img=bg_img, focal=FOCAL, princpt=PRINCPT, view=args.view)
 
+    mesh = par.make_mesh()
+
     def build_generation_sampler(shape, eps):
         """Prefer the single-kernel Pallas sampler when the config matches
-        its scope (EM predictor, no corrector); fall back to the generic
-        fused-scan sampler otherwise or off-TPU."""
+        its scope (EM predictor, none/langevin corrector, positional temb);
+        fall back to the generic fused-scan sampler — data-parallel over all
+        local devices — otherwise or off-TPU."""
         if (config.sampling.method == "pc"
                 and config.sampling.predictor == "euler_maruyama"
-                and config.sampling.corrector == "none"
+                and config.sampling.corrector in ("none", "langevin")
                 and config.model.embedding_type == "positional"):
             try:
                 from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
 
                 s = get_pallas_em_sampler(sde, model, params, shape, eps=eps,
-                                          denoise=config.sampling.noise_removal)
+                                          denoise=config.sampling.noise_removal,
+                                          corrector=config.sampling.corrector,
+                                          snr=config.sampling.snr,
+                                          n_corrector_steps=config.sampling.n_steps_each,
+                                          mesh=mesh if mesh.devices.size > 1 else None)
                 s(jax.random.PRNGKey(0))  # compile probe
-                print("[sampler] pallas single-kernel path")
+                print(f"[sampler] pallas single-kernel path "
+                      f"(corrector={config.sampling.corrector})")
                 return s
             except Exception as e:
                 print(f"[sampler] pallas unavailable ({type(e).__name__}); using XLA scan")
-        return sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
-                                            inverse_scaler=None, eps=eps)
+        return par.data_parallel_sampler(
+            sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
+                                         inverse_scaler=None, eps=eps, jit=False),
+            mesh)
 
     if args.task == "generation":
         target_path = os.path.join(args.output_path, "generation")
@@ -130,8 +140,7 @@ def main(args):
             shape = (sample_num_m, N_POSES * POSE_DIM)
             config.sampling.method = "pc"
             config.sampling.corrector = "langevin"
-            sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
-                                                   inverse_scaler=None, eps=5e-3)
+            sampler = build_generation_sampler(shape, eps=5e-3)
             key, sub = jax.random.split(key)
             _, samples = sampler(sub)
             # Pose-NDF protocol: SMPL body, zero-padded hand joints
@@ -204,20 +213,28 @@ def main(args):
         if args.task == "completion":
             # optimization solver; NOTE the demo variant uses time_strategy '2'
             # (ref run/demo.py:306) unlike run.completion's '3'
-            compfn = DPoserComp(sde, score_fn, time_strategy="2", sample_time=900)
+            comp_mesh = mesh if observation.shape[0] % mesh.devices.size == 0 else None
+            compfn = DPoserComp(sde, score_fn, time_strategy="2", sample_time=900,
+                                mesh=comp_mesh)
             key, ko = jax.random.split(key)
             multihypo = compfn.optimize_hypos(ko, observation, mask, hypo_num)
         else:
-            # ScoreSDE imputation inside the reverse sampler
+            # ScoreSDE imputation inside the reverse sampler; hypotheses via
+            # vmap (replaces the reference's sequential loop, ref demo.py:
+            # 359-362), batch data-parallel over the mesh
             sampler = sampling_lib.get_sampling_fn(
                 config, sde, observation.shape, score_fn, inverse_scaler=None,
-                eps=sampling_eps, imputation=True)
-            outs = []
-            for h in range(hypo_num):
-                key, kh = jax.random.split(key)
-                _, completion = sampler(kh, observation=observation, mask=mask)
-                outs.append(completion)
-            multihypo = jnp.stack(outs, axis=1)
+                eps=sampling_eps, imputation=True, jit=False)
+
+            @jax.jit
+            def multi_imput(keys, obs, msk):
+                obs = jax.lax.with_sharding_constraint(obs, par.batch_sharding(mesh))
+                msk = jax.lax.with_sharding_constraint(msk, par.batch_sharding(mesh))
+                outs = jax.vmap(lambda k: sampler(k, observation=obs, mask=msk)[1])(keys)
+                return jnp.swapaxes(outs, 0, 1)  # [B, hypo, D]
+
+            key, kh = jax.random.split(key)
+            multihypo = multi_imput(jax.random.split(kh, hypo_num), observation, mask)
 
         preds = normalizer.offline_denormalize(multihypo, to_axis=True)
         evaler = Evaler(body_model=body_model, part=args.part)

@@ -44,7 +44,12 @@ def parse_args(argv):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed for multi-host TPU "
-                             "slices (coordinator from TPU env)")
+                             "slices (coordinator auto-detected on TPU pods; "
+                             "elsewhere set --coordinator/--num-processes/"
+                             "--process-id)")
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     return parser.parse_args(argv[1:])
 
 
@@ -55,7 +60,9 @@ def main(args):
     import jax.numpy as jnp
 
     if args.multihost:
-        jax.distributed.initialize()
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
 
     from dposer_tpu import N_POSES, parallel as par
     from dposer_tpu.body_model.smplx_jax import BodyModel
@@ -175,12 +182,15 @@ def main(args):
         continuous=config.training.continuous,
         likelihood_weighting=config.training.likelihood_weighting, **step_kwargs)
 
-    mesh = par.make_mesh()
+    mesh = par.make_mesh()  # global: one data-parallel program over all hosts
+    mesh_local = par.make_mesh(local=True)  # eval runs process-local
     n_dev = mesh.devices.size
     if config.training.batch_size % n_dev:
-        raise ValueError(f"batch {config.training.batch_size} must divide {n_dev} devices")
+        raise ValueError(f"batch {config.training.batch_size} must be divisible "
+                         f"by the {n_dev} mesh devices")
     sharded_step = par.data_parallel_step(train_step, mesh)
-    logger.info(f"data-parallel over {n_dev} device(s): {mesh.devices.ravel()[:4]}...")
+    logger.info(f"data-parallel over {n_dev} device(s) / "
+                f"{jax.process_count()} process(es): {mesh.devices.ravel()[:4]}...")
 
     def eval_score_fn_for(eval_params):
         return get_score_fn(sde, lambda x, t: model.apply({"params": eval_params}, x, t),
@@ -220,7 +230,8 @@ def main(args):
     while step < num_train_steps and not stop_requested["flag"]:
         batch = next(batches)
         key, k_step = jax.random.split(key)
-        state, loss_dict = sharded_step(state, k_step, par.shard_batch(mesh, batch))
+        state, loss_dict = sharded_step(state, k_step,
+                                        par.shard_global_batch(mesh, batch))
         step = int(state.step)
         if stop_requested["flag"]:
             break  # skip eval/periodic-save; the preemption checkpoint follows
@@ -241,12 +252,29 @@ def main(args):
             score_fn = eval_score_fn_for(ema_params)
             likelihood_fn = get_likelihood_fn(sde, score_fn, rtol=1e-4, atol=1e-4,
                                               eps=1e-4)
-            sampler = sampling_lib.get_sampling_fn(
+            # eval sampling is data-parallel over the mesh (batch sharded,
+            # GSPMD partitions the reverse loop); hypotheses run under vmap
+            # instead of the reference's sequential loop (ref train.py:289-292)
+            sampler = par.data_parallel_sampler(
+                sampling_lib.get_sampling_fn(
+                    config, sde, sampling_shape, score_fn, inverse_scaler=None,
+                    eps=sampling_eps, return_trajectory=True, jit=False),
+                mesh_local)
+            imput_raw = sampling_lib.get_sampling_fn(
                 config, sde, sampling_shape, score_fn, inverse_scaler=None,
-                eps=sampling_eps, return_trajectory=True)
-            imput_sampler = sampling_lib.get_sampling_fn(
-                config, sde, sampling_shape, score_fn, inverse_scaler=None,
-                eps=sampling_eps, imputation=True)
+                eps=sampling_eps, imputation=True, jit=False)
+            hypo_num = 5
+
+            @jax.jit
+            def multi_imput_sampler(keys, observation, mask):
+                observation = jax.lax.with_sharding_constraint(
+                    observation, par.batch_sharding(mesh_local))
+                mask = jax.lax.with_sharding_constraint(
+                    mask, par.batch_sharding(mesh_local))
+                outs = jax.vmap(
+                    lambda k: imput_raw(k, observation=observation, mask=mask)[1]
+                )(keys)  # [hypo, B, D]
+                return jnp.swapaxes(outs, 0, 1)
 
             eval_metrics = {"bpd": [], "mpvpe_all": [], "mpjpe_body": []}
             all_samples = []
@@ -260,14 +288,9 @@ def main(args):
 
                 if body_model_vis is not None:
                     mask, observation = create_mask(k2, poses, part="left_leg")
-                    hypo_num = 5
-                    hypos = []
-                    for h in range(hypo_num):
-                        key, kh = jax.random.split(key)
-                        _, completion = imput_sampler(kh, observation=observation,
-                                                      mask=mask)
-                        hypos.append(completion)
-                    multihypo = jnp.stack(hypos, axis=1)
+                    key, kh = jax.random.split(key)
+                    multihypo = multi_imput_sampler(
+                        jax.random.split(kh, hypo_num), observation, mask)
                     preds = denormalize(multihypo)
                     gts = denormalize(poses)
                     if config.data.rot_rep == "rot6d":

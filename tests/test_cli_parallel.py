@@ -1,0 +1,188 @@
+"""Entry-point-level data-parallel / multi-host tests.
+
+Proves the capability the reference implements with process-per-GPU gloo
+(ref run/completion.py:83-88, 300-338) end-to-end:
+
+- ``run.completion`` on an 8-device mesh produces the same metrics as on a
+  single device, with the batch demonstrably sharded;
+- two *real* jax.distributed processes split a ragged batch count and the
+  length-aware allgather reassembles every per-sample metric;
+- two-process ``run.train`` reproduces the single-process loss stream
+  (global-batch data parallelism over hosts).
+"""
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fixtures import make_stats_dir, make_synthetic_body_model
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_CONFIG_SRC = """
+from configs.subvp.amass_scorefc_continuous import get_config as base
+
+
+def get_config():
+    config = base()
+    config.model.HIDDEN_DIM = 128
+    config.model.EMBED_DIM = 64
+    config.model.N_BLOCKS = 1
+    config.model.num_scales = 20
+    config.training.batch_size = 16
+    config.training.n_iters = 6
+    config.training.log_freq = 2
+    config.training.eval_freq = 50
+    config.training.save_freq = 50
+    config.eval.batch_size = 16
+    return config
+"""
+
+
+def run_cli(args, n_devices=1, timeout=560, extra_env=None):
+    env = dict(os.environ)
+    env["DPOSER_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    if n_devices > 1:
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    env.update(extra_env or {})
+    proc = subprocess.run([sys.executable, "-m"] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, f"STDOUT:\n{proc.stdout}\nSTDERR:\n{proc.stderr}"
+    return proc.stdout + proc.stderr
+
+
+def metric_averages(out):
+    return {k: float(v) for k, v in
+            re.findall(r"The average of (\w+) is ([\d.eE+-]+)", out)}
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, torch, ref_model_lib, ref_ema_lib):
+    tmp = tmp_path_factory.mktemp("cli_par")
+    rng = np.random.default_rng(0)
+    data_root = tmp / "amass"
+    train_dir = data_root / "version1" / "train"
+    test_dir = data_root / "version1" / "test"
+    train_dir.mkdir(parents=True)
+    test_dir.mkdir(parents=True)
+    make_stats_dir(train_dir)
+    torch.save(torch.from_numpy((0.3 * rng.normal(size=(64, 63))).astype(np.float32)),
+               train_dir / "pose_body.pt")
+    # 48 test samples -> 3 batches of 16: RAGGED over 2 processes (2 vs 1)
+    torch.save(torch.from_numpy((0.3 * rng.normal(size=(48, 63))).astype(np.float32)),
+               test_dir / "pose_body.pt")
+
+    import ml_collections
+
+    c = ml_collections.ConfigDict()
+    c.model = ml_collections.ConfigDict(dict(
+        dropout=0.1, embedding_type="positional", fourier_scale=16,
+        nonlinearity="swish", scale_by_sigma=True, sigma_min=0.01,
+        sigma_max=50.0, num_scales=20))
+    torch.manual_seed(0)
+    tmodel = ref_model_lib.ScoreModelFC(c, n_poses=21, pose_dim=3,
+                                        hidden_dim=128, embed_dim=64, n_blocks=1)
+    ema = ref_ema_lib.ExponentialMovingAverage(
+        [p for p in tmodel.parameters() if p.requires_grad], decay=0.9999)
+    ckpt = tmp / "tiny.pth"
+    torch.save({"model_state_dict": tmodel.state_dict(), "optimizer_state_dict": None,
+                "epoch": 0, "ema": ema.state_dict(), "step": 1}, ckpt)
+
+    bm_path, _ = make_synthetic_body_model(tmp / "SMPLX_NEUTRAL.npz", "smplx")
+    config_py = tmp / "tiny_config.py"
+    config_py.write_text(TINY_CONFIG_SRC)
+    return dict(tmp=tmp, data_root=str(data_root), ckpt=str(ckpt),
+                bm=bm_path, config=str(config_py))
+
+
+def completion_args(workdir):
+    return ["run.completion", "--config", workdir["config"],
+            "--ckpt-path", workdir["ckpt"],
+            "--dataset-folder", workdir["data_root"], "--version", "version1",
+            "--bodymodel-path", workdir["bm"],
+            "--part", "left_leg", "--hypo", "2", "--batch_size", "16",
+            "--steps", "20"]
+
+
+def test_completion_8device_matches_single_device(workdir):
+    out1 = run_cli(completion_args(workdir), n_devices=1)
+    out8 = run_cli(completion_args(workdir), n_devices=8)
+    assert "data-parallel over 8 local device(s)" in out8
+    m1, m8 = metric_averages(out1), metric_averages(out8)
+    assert set(m1) == {"mpvpe_all", "mpjpe_body"} and set(m8) == set(m1)
+    for k in m1:
+        # same math, different GSPMD partitioning -> tiny float drift only
+        np.testing.assert_allclose(m8[k], m1[k], rtol=1e-3, err_msg=k)
+
+
+def test_completion_two_process_multihost_ragged_gather(workdir):
+    """Two real jax.distributed processes; 3 batches split 2/1 (ragged)."""
+    env = dict(os.environ)
+    env["DPOSER_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m"] + completion_args(workdir) + [
+                "--multihost", "--coordinator", "localhost:12921",
+                "--num-processes", "2", "--process-id", str(pid)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid}:\n{out}"
+    # process 0 prints the gathered averages; they must equal the
+    # single-process run (all 48 samples survive the ragged gather)
+    rank0 = next(o for o in outs if "The average of" in o)
+    m_mh = metric_averages(rank0)
+    m_1p = metric_averages(run_cli(completion_args(workdir), n_devices=1))
+    for k in m_1p:
+        np.testing.assert_allclose(m_mh[k], m_1p[k], rtol=1e-3, err_msg=k)
+    # each process only computed its shard (2 vs 1 batches)
+    n_batches = [len(re.findall(r"batch \d+:", o)) for o in outs]
+    assert sorted(n_batches) == [1, 2], n_batches
+
+
+def train_args(workdir, name):
+    return ["run.train", "--config", workdir["config"],
+            "--dataset-folder", workdir["data_root"], "--version", "version1",
+            "--bodymodel-path", "/nonexistent", "--name", name]
+
+
+def parse_losses(out):
+    return [float(x) for x in re.findall(r"step_loss: ([\d.eE+-]+)", out)]
+
+
+def test_train_two_process_multihost_matches_single(workdir):
+    """Global-batch data parallelism over 2 processes x 8 virtual devices
+    must reproduce the single-process loss stream (same seed, same data)."""
+    env = dict(os.environ)
+    env["DPOSER_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m"] + train_args(workdir, f"mh{pid}") + [
+                "--multihost", "--coordinator", "localhost:12931",
+                "--num-processes", "2", "--process-id", str(pid)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid}:\n{out}"
+    losses_mh = parse_losses(outs[0])
+    assert losses_mh and all(np.isfinite(losses_mh))
+
+    out_single = run_cli(train_args(workdir, "single"), n_devices=8)
+    losses_1p = parse_losses(out_single)
+    np.testing.assert_allclose(losses_mh, losses_1p, rtol=1e-4)

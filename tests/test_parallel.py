@@ -70,9 +70,7 @@ def test_sharded_multi_step_training_runs():
     assert np.isfinite(float(ld["step_loss"]))
 
 
-def test_sharded_sampler():
-    sde = sde_lib.SubVPSDE(N=50)
-
+def _toy_score_fn(sde):
     def score_fn(x, t):
         a_t, std_t = sde.marginal_prob(jnp.ones_like(x), jnp.atleast_1d(t))
         a = a_t[..., 0] if a_t.ndim == x.ndim else a_t
@@ -80,13 +78,93 @@ def test_sharded_sampler():
         return -(x - a[..., None] * 0.7) / var[..., None] if a.ndim == x.ndim - 1 \
             else -(x - a * 0.7) / var
 
+    return score_fn
+
+
+def test_sharded_sampler_matches_single_device_and_is_sharded():
+    """data_parallel_sampler must (a) equal the plain jitted sampler and
+    (b) actually leave its output sharded across the mesh."""
+    sde = sde_lib.SubVPSDE(N=50)
+    score_fn = _toy_score_fn(sde)
     mesh = par.make_mesh()
     sampler = get_pc_sampler(sde, (256, DIM), score_fn, denoise=True, jit=False)
     run = par.data_parallel_sampler(sampler, mesh)
     _, x = run(jax.random.PRNGKey(0))
-    x = np.asarray(x)
-    assert x.shape == (256, DIM)
-    assert abs(x.mean() - 0.7) < 0.1
+    assert len(x.sharding.device_set) == 8, x.sharding
+    _, x_single = jax.jit(sampler)(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_single),
+                               rtol=2e-5, atol=2e-6)
+    assert abs(np.asarray(x).mean() - 0.7) < 0.1
+
+
+def test_sharded_sampler_imputation_and_trajs():
+    """observation/mask inputs and the trajectory output shard correctly."""
+    sde = sde_lib.SubVPSDE(N=20)
+    score_fn = _toy_score_fn(sde)
+    mesh = par.make_mesh()
+    sampler = get_pc_sampler(sde, (64, DIM), score_fn, denoise=True,
+                             imputation=True, return_trajectory=True, jit=False)
+    run = par.data_parallel_sampler(sampler, mesh)
+    obs = jnp.ones((64, DIM)) * 0.5
+    mask = jnp.zeros((64, DIM)).at[:, :4].set(1.0)
+    trajs, x = run(jax.random.PRNGKey(1), observation=obs, mask=mask)
+    assert trajs.shape == (20, 64, DIM)
+    trajs_s, x_s = jax.jit(sampler)(jax.random.PRNGKey(1), observation=obs,
+                                    mask=mask)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_s), rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(trajs), np.asarray(trajs_s),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_sampler_uneven_batch():
+    """batches that don't divide the mesh still run (GSPMD pads)."""
+    sde = sde_lib.SubVPSDE(N=10)
+    mesh = par.make_mesh()
+    sampler = get_pc_sampler(sde, (50, DIM), _toy_score_fn(sde), jit=False)
+    _, x = par.data_parallel_sampler(sampler, mesh)(jax.random.PRNGKey(0))
+    assert x.shape == (50, DIM)
+
+
+def test_dposer_comp_mesh_matches_single_device():
+    """DPoserComp(mesh=...) must reproduce the unsharded solver exactly and
+    shard its inputs/outputs (the run.completion capability, ref
+    run/completion.py:326-338)."""
+    from dposer_tpu.tasks import DPoserComp
+
+    sde = sde_lib.SubVPSDE(N=20)
+    score_fn = _toy_score_fn(sde)
+    mesh = par.make_mesh()
+    comp_plain = DPoserComp(sde, score_fn, iterations=1, steps_per_iter=5)
+    comp_mesh = DPoserComp(sde, score_fn, iterations=1, steps_per_iter=5,
+                           mesh=mesh)
+    key = jax.random.PRNGKey(3)
+    obs = 0.5 * jax.random.normal(jax.random.PRNGKey(4), (16, DIM))
+    mask = jnp.zeros((16, DIM)).at[:, :3].set(1.0)
+    a = comp_plain.optimize_hypos(key, obs, mask, 2)
+    b = comp_mesh.optimize_hypos(key, par.shard_batch(mesh, obs),
+                                 par.shard_batch(mesh, mask), 2)
+    assert len(b.sharding.device_set) == 8, b.sharding
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_pad_batch_to_multiple():
+    x = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+    padded, n = par.pad_batch_to_multiple(x, 8)
+    assert n == 10 and padded.shape == (16, 3)
+    np.testing.assert_array_equal(padded[:10], x)
+    np.testing.assert_array_equal(padded[10:], np.repeat(x[-1:], 6, axis=0))
+    same, n2 = par.pad_batch_to_multiple(x, 5)
+    assert n2 == 10 and same.shape == (10, 3)
+
+
+def test_allgather_ragged_single_process():
+    # single process: identity (the multi-process path is exercised by the
+    # 2-process CLI test in test_cli_parallel.py)
+    arr = np.asarray([1.0, 2.0, 3.0], np.float32)
+    out = par.allgather_ragged_1d(arr)
+    np.testing.assert_array_equal(out, arr)
 
 
 def test_eval_shard_ranges():
@@ -96,3 +174,15 @@ def test_eval_shard_ranges():
         r = par.shard_eval_batches(1000, 10, process_index=pi, process_count=8)
         allidx.extend(list(r))
     assert sorted(allidx) == list(range(100))
+
+
+def test_eval_shard_ranges_ragged():
+    # 13 batches over 8 processes: first 5 get 2, rest get 1 — still covering
+    allidx = []
+    sizes = []
+    for pi in range(8):
+        r = par.shard_eval_batches(130, 10, process_index=pi, process_count=8)
+        sizes.append(len(r))
+        allidx.extend(list(r))
+    assert sorted(allidx) == list(range(13))
+    assert max(sizes) - min(sizes) == 1
