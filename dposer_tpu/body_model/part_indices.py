@@ -99,6 +99,18 @@ def smpl_to_openpose(model_type: str = "smplx", use_hands: bool = True,
         if model_type == "smpl":
             return np.array([24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4,
                              7, 25, 26, 27, 28], dtype=np.int32)
+        if model_type == "smplh":
+            body = np.array([52, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4,
+                             7, 53, 54, 55, 56], dtype=np.int32)
+            mapping = [body]
+            if use_hands:
+                mapping += [np.array([20, 34, 35, 36, 57, 22, 23, 24, 58, 25,
+                                      26, 27, 59, 31, 32, 33, 60, 28, 29, 30,
+                                      61], dtype=np.int32),
+                            np.array([21, 49, 50, 51, 62, 37, 38, 39, 63, 40,
+                                      41, 42, 64, 46, 47, 48, 65, 43, 44, 45,
+                                      66], dtype=np.int32)]
+            return np.concatenate(mapping)
         if model_type == "smplx":
             body = np.array([55, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4,
                              7, 56, 57, 58, 59], dtype=np.int32)
