@@ -43,7 +43,8 @@ def measure_tpu() -> float:
         from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
 
         sampler = get_pallas_em_sampler(sde, model, params,
-                                        (N_SAMPLES, POSE_DIM), eps=1e-3)
+                                        (N_SAMPLES, POSE_DIM), eps=1e-3,
+                                        rng_mode="kernel")
         _, x = sampler(jax.random.PRNGKey(1))
         x.block_until_ready()
     except Exception:

@@ -1,0 +1,84 @@
+"""Mosaic MXU microbenchmark: dependent-matmul chain inside one kernel.
+
+Isolates what a [512,1024]x[1024,1024] bf16 matmul chain actually costs in a
+Pallas fori_loop (vs the 197 TFLOP/s roofline), with/without fp32 accumulate
+and with loop unrolling — to pin the fused sampler's true speed-of-light.
+
+    python -u benchmarks/mxu_micro.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, H, N_STEPS, CHAIN = 512, 1024, 1000, 6
+
+
+def build(acc_dtype, unroll):
+    def kernel(x0, *ws_and_out):
+        ws = ws_and_out[:CHAIN]
+        out_ref, x_st = ws_and_out[CHAIN], ws_and_out[CHAIN + 1]
+        x_st[:] = x0[:]
+
+        def body(i, _):
+            h = x_st[:]
+            for k in range(CHAIN):
+                hb = h.astype(jnp.bfloat16)
+                h = jnp.dot(hb, ws[k][:], preferred_element_type=acc_dtype)
+                h = h.astype(jnp.float32)
+            # keep magnitudes bounded; cheap
+            x_st[:] = h * 1e-3
+            return 0
+
+        jax.lax.fori_loop(0, N_STEPS, body, 0, unroll=unroll)
+        out_ref[:] = x_st[:]
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + CHAIN),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )
+
+    @jax.jit
+    def run(x0, ws):
+        return call(x0, *ws)
+
+    return run
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (B, H), jnp.float32)
+    ws = [jax.random.normal(jax.random.fold_in(key, k), (H, H),
+                            jnp.bfloat16) * 0.03 for k in range(CHAIN)]
+    flops = 2 * B * H * H * CHAIN * N_STEPS
+    for acc in (jnp.float32, jnp.bfloat16):
+        for unroll in (1, 2, 4):
+            run = build(acc, unroll)
+            x = run(x0, ws)
+            x.block_until_ready()
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                x = run(x0, ws)
+                x.block_until_ready()
+                times.append(time.perf_counter() - t0)
+            t = min(times)
+            us_per_mm = t / N_STEPS / CHAIN * 1e6
+            print(f"acc={acc.__name__:9s} unroll={unroll}  "
+                  f"{t * 1e3:7.2f} ms  {us_per_mm:5.2f} us/matmul  "
+                  f"{flops / t / 1e12:6.1f} TFLOP/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Time the fused-EM Pallas kernel variants on the real TPU.
+
+    python -u benchmarks/time_kernel.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dposer_tpu.diffusion.sde import SubVPSDE
+from dposer_tpu.models import ScoreModelFC
+from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
+
+DIM, N = 63, 1000
+
+
+def build():
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=1024, embed_dim=512,
+                         n_blocks=2, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, DIM)),
+                        jnp.zeros((1,)))["params"]
+    return model, params, SubVPSDE(N=N)
+
+
+def timeit(name, sampler, batch, **callkw):
+    t0 = time.perf_counter()
+    _, x = sampler(jax.random.PRNGKey(1), **callkw)
+    x.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(x)).all(), f"{name}: non-finite output"
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        _, x = sampler(jax.random.PRNGKey(2 + i), **callkw)
+        x.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    ms = min(times) * 1e3
+    print(f"{name:38s} {ms:8.2f} ms/{N}steps  ({batch / min(times):7.0f} poses/s)"
+          f"  [compile {compile_s:.0f}s]  out_std={np.asarray(x).std():.3f}",
+          flush=True)
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    model, params, sde = build()
+    B = 500
+    s = get_pallas_em_sampler(sde, model, params, (B, DIM), rng_mode="kernel")
+    timeit("EM, kernel-rng (headline)", s, B)
+    s = get_pallas_em_sampler(sde, model, params, (B, DIM), rng_mode="host")
+    timeit("EM, host-rng", s, B)
+
+    # APD/SI metrics protocol: langevin corrector, eps 5e-3 (ref demo.py:142)
+    s = get_pallas_em_sampler(sde, model, params, (B, DIM), eps=5e-3,
+                              corrector="langevin", snr=0.16,
+                              rng_mode="kernel")
+    timeit("EM+langevin, kernel-rng (metrics)", s, B)
+
+    # completion2 protocol: imputation
+    obs = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (B, DIM))
+    mask = jnp.zeros((B, DIM)).at[:, 10:30].set(1.0)
+    s = get_pallas_em_sampler(sde, model, params, (B, DIM), imputation=True,
+                              rng_mode="kernel")
+    timeit("EM+imputation, kernel-rng", s, B, observation=obs, mask=mask)
+
+    B = 4096
+    s = get_pallas_em_sampler(sde, model, params, (B, DIM), rng_mode="kernel")
+    timeit("EM, kernel-rng, batch 4096 (grid)", s, B)
+
+
+if __name__ == "__main__":
+    main()

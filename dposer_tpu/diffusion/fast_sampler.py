@@ -135,6 +135,126 @@ def make_fast_forward(model: ScoreModelFC, params, tprojs, out_scale):
     return fwd
 
 
+def _corrector_tables(sde: SDE, timesteps: jnp.ndarray, out_scale):
+    """Per-step (score_scale, alpha) for the langevin corrector.
+
+    score = score_scale[i] * raw_model_out (folds the sigma-table output
+    scaling and the -1/std score adapter); alpha is the discrete
+    sqrt-cumprod-free alpha the corrector's step size uses
+    (ref sampling.py:280-287).
+    """
+    if isinstance(sde, (VPSDE, SubVPSDE)):
+        _, std = sde.marginal_prob(jnp.zeros_like(timesteps), timesteps)
+        score_scale = -1.0 / std
+        timestep_idx = (timesteps * (sde.N - 1) / sde.T).astype(jnp.int32)
+        alpha = sde.alphas()[timestep_idx]
+    elif isinstance(sde, VESDE):
+        score_scale = jnp.ones_like(timesteps)
+        alpha = jnp.ones_like(timesteps)
+    else:
+        raise NotImplementedError(type(sde).__name__)
+    if out_scale is not None:
+        score_scale = score_scale * out_scale
+    return score_scale, alpha
+
+
+def _imputation_tables(sde: SDE, timesteps: jnp.ndarray):
+    """Per-step (mean_coeff, std) such that the re-noised observation is
+    ``mc[i]*obs + std[i]*z`` (ref sampling.py:418-421)."""
+    ones = jnp.ones((timesteps.shape[0], 1))
+    mean, std = sde.marginal_prob(ones, timesteps)
+    return mean[:, 0], std
+
+
+def get_fast_pc_sampler(sde: SDE, model: ScoreModelFC, params,
+                        shape: Tuple[int, ...], eps: float = 1e-3,
+                        denoise: bool = True, corrector: str = "none",
+                        snr: float = 0.16, n_corrector_steps: int = 1,
+                        imputation: bool = False, jit: bool = True):
+    """Tabled PC sampler: EM predictor + optional langevin corrector +
+    optional imputation, with the SAME per-step tables the Pallas kernel
+    uses. Two PRNG modes:
+
+    - ``sampler(key, observation=None, mask=None, z=None)``: draws with the
+      generic ``get_pc_sampler`` layout (fold_in(key, i) -> split 4 ->
+      kc/kci/kp/kpi; corrector step j draws from fold_in(kc, j)), so outputs
+      are bitwise-comparable to the generic sampler — and transitively to
+      the reference torch loop (tests/test_checkpoint_parity.py).
+    - ``noise=[N, K, B, D]``: injected slabs in kernel order
+      (corr_0..corr_{S-1}, imput_c, em, imput_p — present slots only), the
+      contract the Pallas kernel's host-rng mode consumes.
+    """
+    assert corrector in ("none", "langevin")
+    timesteps = sde.timesteps(eps)
+    labels = _labels_for(sde, timesteps)
+    cx, cout, cnoise = _em_tables(sde, timesteps)
+    tprojs, out_scale = precompute_time_tables(model, params, labels)
+    score_scale, alpha = _corrector_tables(sde, timesteps, out_scale)
+    mc, istd = _imputation_tables(sde, timesteps)
+    if out_scale is not None:
+        cout = cout * out_scale
+    fwd = make_fast_forward(model, params, tprojs, None)  # scales folded
+    N = sde.N
+    S = n_corrector_steps if corrector == "langevin" else 0
+    n_imp = 2 if imputation else 0
+    K = S + n_imp + 1
+
+    def langevin_step(x, i, z):
+        score = score_scale[i] * fwd(x, i)
+        grad_norm = jnp.mean(jnp.sqrt(jnp.sum(score * score, axis=-1)))
+        noise_norm = jnp.mean(jnp.sqrt(jnp.sum(z * z, axis=-1)))
+        step_size = (snr * noise_norm / grad_norm) ** 2 * 2 * alpha[i]
+        x_mean = x + step_size * score
+        return x_mean + jnp.sqrt(step_size * 2) * z
+
+    def impute(x, i, z, observation, mask):
+        masked = mc[i] * observation + istd[i] * z
+        return x * (1 - mask) + masked * mask
+
+    def em_step(x, i, z):
+        x_mean = cx[i] * x + cout[i] * fwd(x, i)
+        return x_mean + cnoise[i] * z, x_mean
+
+    def sampler(key, observation=None, mask=None, z=None, noise=None):
+        if z is None:
+            key, sub = jax.random.split(key)
+            x = sde.prior_sampling(sub, shape)
+        else:
+            x = z
+
+        def draws_generic(i):
+            kc, kci, kp, kpi = jax.random.split(jax.random.fold_in(key, i), 4)
+            out = [jax.random.normal(jax.random.fold_in(kc, j), shape)
+                   for j in range(S)]
+            if imputation:
+                out.append(jax.random.normal(kci, shape))
+            out.append(jax.random.normal(kp, shape))
+            if imputation:
+                out.append(jax.random.normal(kpi, shape))
+            return out
+
+        def step(carry, i):
+            x, _ = carry
+            zs = (list(noise[i]) if noise is not None else draws_generic(i))
+            k = 0
+            for j in range(S):
+                x = langevin_step(x, i, zs[k])
+                k += 1
+            if imputation:
+                x = impute(x, i, zs[k], observation, mask)
+                k += 1
+            x, x_mean = em_step(x, i, zs[k])
+            k += 1
+            if imputation:
+                x = impute(x, i, zs[k], observation, mask)
+            return (x, x_mean), None
+
+        (x, x_mean), _ = jax.lax.scan(step, (x, x), jnp.arange(N, dtype=jnp.int32))
+        return None, (x_mean if denoise else x)
+
+    return jax.jit(sampler) if jit else sampler
+
+
 def get_fast_em_sampler(sde: SDE, model: ScoreModelFC, params,
                         shape: Tuple[int, ...], eps: float = 1e-3,
                         denoise: bool = True, dtype=jnp.float32,

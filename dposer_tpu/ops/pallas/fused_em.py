@@ -9,6 +9,7 @@ This kernel runs the full loop inside a single program:
   the flagship 1024-wide model)
 - per-step time-projection rows (precomputed bias+temb contributions) and
   pregenerated Gaussian noise stream from HBM with double-buffered DMA
+  (or are drawn on-core with the TPU PRNG in ``rng_mode="kernel"``)
 - GroupNorm uses group-indicator matmuls (h @ G) instead of reshapes so all
   intermediates stay in MXU/VPU-friendly [B, H] layout
 - the EM update collapses to 3 scalars per step: x <- cx*x + cout*out + cn*z
@@ -18,8 +19,20 @@ Integration state x stays fp32; matmul inputs are cast to bf16 (the noise
 injection dwarfs bf16 rounding — validated against the XLA fast sampler).
 
 Scope: ScoreModelFC topology (any n_blocks), positional embeddings,
-predictor=euler_maruyama, corrector=none — exactly the flagship DPoser
-generation configuration.
+predictor=euler_maruyama, corrector in {none, langevin}, optional masked
+imputation — i.e. every flagship DPoser protocol: generation
+(ref run/demo.py:130), the APD/SI metrics run (langevin corrector,
+ref run/demo.py:142 + sampling.py:273-302) and completion2 imputation
+(ref sampling.py:410-427).
+
+Langevin note: the corrector's step size normalizes by batch-mean gradient/
+noise norms (ref sampling.py:287-292). The kernel computes those means per
+batch block (exact when one block covers the batch, e.g. the 500-sample
+protocols); multi-block runs use block-local norms — a documented delta.
+
+Multi-chip: pass ``mesh=`` to run the kernel per-device under ``shard_map``
+with the batch dim sharded (each chip executes the full N-step loop on its
+shard; PRNG decorrelated by ``axis_index``).
 """
 from __future__ import annotations
 
@@ -32,7 +45,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...diffusion.fast_sampler import _em_tables, _labels_for, precompute_time_tables
+from ...diffusion.fast_sampler import (_corrector_tables, _em_tables,
+                                       _imputation_tables, _labels_for,
+                                       precompute_time_tables)
 from ...diffusion.sde import SDE
 from ...models.score_mlp import ScoreModelFC
 
@@ -67,51 +82,76 @@ def _box_muller(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
 
 
-def _make_kernel(n_steps: int, n_blocks: int, batch_blk: int, dim_p: int,
-                 hidden: int, denoise: bool, kernel_rng: bool,
-                 gridded: bool = True):
+def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
+                 dim: int, dim_p: int, hidden: int, denoise: bool,
+                 kernel_rng: bool, n_corr: int, imputation: bool, snr: float,
+                 gridded: bool = True, ablate: frozenset = frozenset()):
     """Kernel body builder. Ref layout (all VMEM unless noted):
 
-    refs = [coefs (SMEM [N, 4]), seed (SMEM [1], kernel_rng only),
-            x0, Wpre, W[2*n_blocks], Wpost, bpost,
-            gn_scale (VMEM [1+2*n_blocks, H]), gn_bias, G (VMEM [H, NG]),
+    refs = [coefs (SMEM [N, 8]), seed (SMEM [1], kernel_rng only),
+            x0, (obs, mask — imputation only),
+            Wpre, W[2*n_blocks], Wpost, bpost,
+            Gts (VMEM [1+2*n_blocks, NG, H], scale-folded), gn_bias,
+            G (VMEM [H, NG], mean-normalized), Gt (VMEM [NG, H]),
             tp_hbm (ANY [N, n_tp_pad, H]),
-            noise_hbm (ANY [N, Bp, Dp], host-rng mode only),
+            noise_hbm (ANY [N, K, Bp, Dp], host-rng mode only),
             out_ref,
             scratch: x_st, tp_buf [2,...],
-            (host-rng: nz_buf [2,...], sem_nz [2]), sem_tp [2]]
+            (host-rng: nz_buf [2, K, ...], sem_nz [2]), sem_tp [2]]
+
+    coefs columns: cx, cout, cnoise, score_scale, alpha, imput_mean,
+    imput_std, (pad).
     """
     n_tp = 1 + 2 * n_blocks
-    inv_group = 1.0 / (hidden // NUM_GROUPS)
+    K = n_corr + (2 if imputation else 0) + 1  # noise slabs per step
 
-    def group_norm(h, G, scale_row, bias_row):
-        # group stats via indicator matmul: [B, H] @ [H, NG] -> [B, NG]
-        gsum = jnp.dot(h, G, preferred_element_type=jnp.float32)
-        gsq = jnp.dot(h * h, G, preferred_element_type=jnp.float32)
-        mean = gsum * inv_group
-        var = gsq * inv_group - mean * mean
-        # broadcast back: [B, NG] @ [NG, H]
-        Gt = G.T
-        mean_f = jnp.dot(mean, Gt, preferred_element_type=jnp.float32)
-        rstd_f = jnp.dot(jax.lax.rsqrt(var + GN_EPS), Gt,
+    def group_norm(h, G, Gt, Gts_j, bias_row):
+        """GN(h)*scale + bias as ``(h - mean)*af + bias``.
+
+        All four group matmuls run with bf16 operands (fp32 accumulation) —
+        an fp32 MXU matmul costs ~3 bf16 passes, and GN was ~28% of the
+        kernel (measured by ablation). ``G`` carries the 1/group_size
+        factor, so ``dot(h, G)`` IS the group mean. The variance uses the
+        two-pass *centered* form: the one-pass E[h^2]-E[h]^2 cancels
+        catastrophically in bf16 (can go negative -> NaN). ``Gts_j`` is the
+        transposed indicator with the GN scale folded in, so the broadcast
+        needs no separate scale multiply.
+        """
+        if "gn" in ablate:  # measurement-only ablation
+            return h
+        hb = h.astype(jnp.bfloat16)
+        mean = jnp.dot(hb, G, preferred_element_type=jnp.float32)
+        mean_f = jnp.dot(mean.astype(jnp.bfloat16), Gt,
                          preferred_element_type=jnp.float32)
-        return (h - mean_f) * rstd_f * scale_row + bias_row
+        hc = h - mean_f
+        var = jnp.dot((hc * hc).astype(jnp.bfloat16), G,
+                      preferred_element_type=jnp.float32)
+        a = jax.lax.rsqrt(var + GN_EPS)                     # [B, NG] rstd
+        af = jnp.dot(a.astype(jnp.bfloat16), Gts_j,
+                     preferred_element_type=jnp.float32)
+        return hc * af + bias_row
+
+    act = (lambda v: v) if "silu" in ablate else _silu
 
     def kernel(coefs, *rest):
         if kernel_rng:
-            seed, x0, Wpre = rest[:3]
-            rest = rest[3:]
-        else:
-            x0, Wpre = rest[:2]
+            seed, x0 = rest[:2]
             rest = rest[2:]
-        Ws = rest[:2 * n_blocks]
-        rest = rest[2 * n_blocks:]
+        else:
+            (x0,) = rest[:1]
+            rest = rest[1:]
+        if imputation:
+            obs, msk = rest[:2]
+            rest = rest[2:]
+        Wpre = rest[0]
+        Ws = rest[1:1 + 2 * n_blocks]
+        rest = rest[1 + 2 * n_blocks:]
         if kernel_rng:
-            (Wpost, bpost, gn_scale, gn_bias, G, tp_hbm, out_ref,
+            (Wpost, bpost, Gts, gn_bias, G, Gt, tp_hbm, out_ref,
              x_st, tp_buf, sem_tp) = rest
             noise_hbm = nz_buf = sem_nz = None
         else:
-            (Wpost, bpost, gn_scale, gn_bias, G, tp_hbm, noise_hbm, out_ref,
+            (Wpost, bpost, Gts, gn_bias, G, Gt, tp_hbm, noise_hbm, out_ref,
              x_st, tp_buf, nz_buf, sem_tp, sem_nz) = rest
 
         i_blk = pl.program_id(0) if gridded else 0
@@ -122,18 +162,58 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_blk: int, dim_p: int,
             # decorrelate the PRNG stream across batch blocks
             pltpu.prng_seed(seed[0] + i_blk)
 
+        # masks for the corrector's batch-mean norms: exclude padded rows
+        # (their score is NOT zero — biases flow through) and padded dims of
+        # kernel-drawn noise
+        if n_corr:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (batch_blk, dim_p), 0)
+            n_real = jnp.clip(batch - row0, 0, batch_blk)
+            row_mask = (rows < n_real).astype(jnp.float32)
+            dims = jax.lax.broadcasted_iota(jnp.int32, (batch_blk, dim_p), 1)
+            dim_mask = (dims < dim).astype(jnp.float32)
+            norm_mask = row_mask * dim_mask
+            inv_n_real = 1.0 / n_real.astype(jnp.float32)
+
         def tp_dma(slot, step):
             return pltpu.make_async_copy(tp_hbm.at[step], tp_buf.at[slot],
                                          sem_tp.at[slot])
 
         def nz_dma(slot, step):
             return pltpu.make_async_copy(
-                noise_hbm.at[step, pl.ds(row0, batch_blk)], nz_buf.at[slot],
+                noise_hbm.at[step, :, pl.ds(row0, batch_blk)], nz_buf.at[slot],
                 sem_nz.at[slot])
 
         tp_dma(0, 0).start()
         if not kernel_rng:
             nz_dma(0, 0).start()
+
+        def fwd(x, slot):
+            """Raw network output (Wpost + bias; sigma-scaling folded into
+            the per-step coefficient tables)."""
+            xb = x.astype(jnp.bfloat16)
+            h = jnp.dot(xb, Wpre[:], preferred_element_type=jnp.float32)
+            h = h + tp_buf[slot, 0, :][None, :]
+            h = group_norm(h, G[:], Gt[:], Gts[0], gn_bias[0, :][None, :])
+            h = act(h)
+            for blk in range(n_blocks):
+                w1 = Ws[2 * blk]
+                w2 = Ws[2 * blk + 1]
+                h1 = jnp.dot(h.astype(jnp.bfloat16), w1[:],
+                             preferred_element_type=jnp.float32)
+                h1 = h1 + tp_buf[slot, 1 + 2 * blk, :][None, :]
+                h1 = group_norm(h1, G[:], Gt[:], Gts[1 + 2 * blk],
+                                gn_bias[1 + 2 * blk, :][None, :])
+                h1 = act(h1)
+                h2 = jnp.dot(h1.astype(jnp.bfloat16), w2[:],
+                             preferred_element_type=jnp.float32)
+                h2 = h2 + tp_buf[slot, 2 + 2 * blk, :][None, :]
+                h2 = group_norm(h2, G[:], Gt[:], Gts[2 + 2 * blk],
+                                gn_bias[2 + 2 * blk, :][None, :])
+                h2 = act(h2)
+                h = h + h2
+            res = jnp.dot(h.astype(jnp.bfloat16), Wpost[:],
+                          preferred_element_type=jnp.float32)
+            return res + bpost[:]
 
         def body(i, _):
             slot = i % 2
@@ -149,40 +229,49 @@ def _make_kernel(n_steps: int, n_blocks: int, batch_blk: int, dim_p: int,
             if not kernel_rng:
                 nz_dma(slot, i).wait()
 
+            def draw(k):
+                if kernel_rng:
+                    return _box_muller((batch_blk, dim_p))
+                return nz_buf[slot, k]
+
             x = x_st[:]
-            xb = x.astype(jnp.bfloat16)
-            h = jnp.dot(xb, Wpre[:], preferred_element_type=jnp.float32)
-            h = h + tp_buf[slot, 0, :][None, :]
-            h = group_norm(h, G[:], gn_scale[0, :][None, :], gn_bias[0, :][None, :])
-            h = _silu(h)
+            k = 0
 
-            for blk in range(n_blocks):
-                w1 = Ws[2 * blk]
-                w2 = Ws[2 * blk + 1]
-                h1 = jnp.dot(h.astype(jnp.bfloat16), w1[:],
-                             preferred_element_type=jnp.float32)
-                h1 = h1 + tp_buf[slot, 1 + 2 * blk, :][None, :]
-                h1 = group_norm(h1, G[:], gn_scale[1 + 2 * blk, :][None, :],
-                                gn_bias[1 + 2 * blk, :][None, :])
-                h1 = _silu(h1)
-                h2 = jnp.dot(h1.astype(jnp.bfloat16), w2[:],
-                             preferred_element_type=jnp.float32)
-                h2 = h2 + tp_buf[slot, 2 + 2 * blk, :][None, :]
-                h2 = group_norm(h2, G[:], gn_scale[2 + 2 * blk, :][None, :],
-                                gn_bias[2 + 2 * blk, :][None, :])
-                h2 = _silu(h2)
-                h = h + h2
+            # --- langevin corrector (ref sampling.py:273-302) --------------
+            for _j in range(n_corr):
+                score = coefs[i, 3] * fwd(x, slot)
+                z = draw(k)
+                k += 1
+                # batch-mean row norms over real rows/dims only
+                rn = jnp.sqrt(jnp.sum(score * score, axis=1, keepdims=True))
+                zn = jnp.sqrt(jnp.sum(z * z * norm_mask, axis=1, keepdims=True))
+                grad_norm = jnp.sum(rn * row_mask[:, :1]) * inv_n_real
+                noise_norm = jnp.sum(zn * row_mask[:, :1]) * inv_n_real
+                step_size = (snr * noise_norm / grad_norm) ** 2 * 2.0 * coefs[i, 4]
+                x = x + step_size * score + jnp.sqrt(2.0 * step_size) * z
 
-            res = jnp.dot(h.astype(jnp.bfloat16), Wpost[:],
-                          preferred_element_type=jnp.float32)
-            res = res + bpost[:]
+            # --- imputation after the corrector (ref sampling.py:410-427) --
+            if imputation:
+                zi = draw(k)
+                k += 1
+                masked = coefs[i, 5] * obs[:] + coefs[i, 6] * zi
+                x = x * (1.0 - msk[:]) + masked * msk[:]
 
-            cx = coefs[i, 0]
-            cout = coefs[i, 1]
-            cn = coefs[i, 2]
-            x_mean = cx * x + cout * res
-            z_i = _box_muller((batch_blk, dim_p)) if kernel_rng else nz_buf[slot]
-            x_st[:] = x_mean + cn * z_i
+            # --- EM predictor ----------------------------------------------
+            res = fwd(x, slot)
+            x_mean = coefs[i, 0] * x + coefs[i, 1] * res
+            if "noise" in ablate:  # measurement-only ablation
+                x_new = x_mean
+            else:
+                x_new = x_mean + coefs[i, 2] * draw(k)
+            k += 1
+
+            if imputation:
+                zi = draw(k)
+                masked = coefs[i, 5] * obs[:] + coefs[i, 6] * zi
+                x_new = x_new * (1.0 - msk[:]) + masked * msk[:]
+
+            x_st[:] = x_new
 
             @pl.when(i == n_steps - 1)
             def _():
@@ -200,24 +289,35 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           denoise: bool = True, interpret: bool = False,
                           rng_mode: str = "host", batch_block: int = 512,
                           corrector: str = "none", snr: float = 0.16,
-                          n_corrector_steps: int = 1, mesh=None):
-    """Build the single-kernel EM sampler. ``sampler(key, z=None) -> (None, x)``.
+                          n_corrector_steps: int = 1, imputation: bool = False,
+                          mesh=None, _ablate: frozenset = frozenset()):
+    """Build the single-kernel PC sampler.
 
-    Weight/table precomputation happens once at build time (host/XLA);
-    the returned callable launches exactly one TPU kernel.
+    ``sampler(key, observation=None, mask=None, z=None, noise=None) ->
+    (None, x)``. Weight/table precomputation happens once at build time
+    (host/XLA); the returned callable launches exactly one TPU kernel
+    (per device, when ``mesh`` is given).
 
-    rng_mode: "host" streams a pregenerated normal array from HBM (stream
-    reproducible under jax PRNG, supports injected noise for tests);
-    "kernel" draws Box-Muller normals from the on-core PRNG (no [N, B, D]
-    noise array, no per-step noise DMA — fastest; TPU only).
+    rng_mode: "host" streams pregenerated normals from HBM as [N, K, B, D]
+    slabs in kernel order corr_0..corr_{S-1}, imput_c, em, imput_p (stream
+    reproducible under jax PRNG; ``noise=`` injects them for tests — a plain
+    [N, B, D] array is accepted when K == 1); "kernel" draws Box-Muller
+    normals from the on-core PRNG (no noise array, no per-step noise DMA —
+    fastest; TPU only).
     """
     assert rng_mode in ("host", "kernel")
-    if corrector not in ("none",):
+    if corrector not in ("none", "langevin"):
         raise NotImplementedError(
-            f"pallas sampler: corrector '{corrector}' not yet in-kernel")
+            f"pallas sampler: corrector '{corrector}' not supported")
+    n_corr = n_corrector_steps if corrector == "langevin" else 0
+    K = n_corr + (2 if imputation else 0) + 1
+
     if mesh is not None and mesh.devices.size > 1:
-        raise NotImplementedError(
-            "pallas sampler: multi-device mesh path not yet wired")
+        return _sharded_sampler(sde, model, params, shape, eps, denoise,
+                                interpret, rng_mode, batch_block, corrector,
+                                snr, n_corrector_steps, imputation, mesh,
+                                _ablate)
+
     kernel_rng = rng_mode == "kernel"
     # VMEM budget guard: weights (bf16) + x/noise/tp buffers + ~3 live
     # activations must fit on-core; refuse early with a clear error so
@@ -225,8 +325,9 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     batch_p_est = min(_round_up(shape[0], 128), batch_block)
     dim_p_est = _round_up(shape[1], 128)
     h = model.hidden_dim
+    n_x_bufs = 1 + (2 if imputation else 0) + (0 if kernel_rng else 2 * K)
     est = (2 * (shape[1] * h + 2 * model.n_blocks * h * h + h * shape[1])  # bf16 weights
-           + 4 * (batch_p_est * dim_p_est) * (1 if rng_mode == "kernel" else 3)
+           + 4 * (batch_p_est * dim_p_est) * (1 + n_x_bufs)
            + 4 * 3 * batch_p_est * h                                        # activations
            + 4 * 2 * 8 * h)                                                 # tp buffers
     _VMEM_BUDGET = 100 * 1024 * 1024
@@ -252,9 +353,12 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     labels = _labels_for(sde, timesteps)
     cx, cout, cnoise = _em_tables(sde, timesteps)
     tprojs, out_scale = precompute_time_tables(model, params, labels)
+    score_scale, alpha = _corrector_tables(sde, timesteps, out_scale)
+    imput_mc, imput_std = _imputation_tables(sde, timesteps)
     if out_scale is not None:
         cout = cout * out_scale
-    coefs = jnp.stack([cx, cout, cnoise, jnp.zeros_like(cx)], axis=1).astype(jnp.float32)
+    coefs = jnp.stack([cx, cout, cnoise, score_scale, alpha, imput_mc,
+                       imput_std, jnp.zeros_like(cx)], axis=1).astype(jnp.float32)
 
     # --- weights, bf16, padded ----------------------------------------------
     def bf16(a):
@@ -282,26 +386,37 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     n_tp_pad = _round_up(1 + 2 * n_blocks, 8)
     tp_all = jnp.stack([r.astype(jnp.float32) for r in tp_rows], axis=1)  # [N, n_tp, H]
     tp_all = jnp.pad(tp_all, ((0, 0), (0, n_tp_pad - tp_all.shape[1]), (0, 0)))
-    gn_scale = jnp.stack([jnp.asarray(params[n]["scale"], jnp.float32) for n in gn_names])
     gn_bias = jnp.stack([jnp.asarray(params[n]["bias"], jnp.float32) for n in gn_names])
 
-    # group-indicator matrix [H, NG]
+    # group-indicator matrix [H, NG], carrying 1/group_size so dot(h, G) is
+    # the group mean directly (1/32 is exact in bf16)
     group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
-    G = jnp.asarray(np.eye(NUM_GROUPS, dtype=np.float32)[group_ids], jnp.bfloat16)
+    indicator = np.eye(NUM_GROUPS, dtype=np.float32)[group_ids]  # [H, NG]
+    G = jnp.asarray(indicator / (hidden // NUM_GROUPS), jnp.bfloat16)
+    # transposed indicator with each GN's scale folded in: [n_tp, NG, H]
+    Gts = jnp.stack([
+        jnp.asarray(indicator.T * np.asarray(params[n]["scale"], np.float32)[None, :],
+                    jnp.bfloat16) for n in gn_names])
+    Gt = jnp.asarray(indicator.T, jnp.bfloat16)  # plain broadcast [NG, H]
 
-    kernel = _make_kernel(n_steps, n_blocks, batch_blk, dim_p, hidden, denoise,
-                          kernel_rng, gridded=n_blk > 1)
+    kernel_rng = rng_mode == "kernel"
+    kernel = _make_kernel(n_steps, n_blocks, batch, batch_blk, dim, dim_p,
+                          hidden, denoise, kernel_rng, n_corr, imputation,
+                          snr, gridded=n_blk > 1, ablate=_ablate)
+
+    def blocked(spec_shape, index_map):
+        return pl.BlockSpec(spec_shape, index_map, memory_space=pltpu.VMEM)
+
+    x_like_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if n_blk == 1 else
+                   blocked((batch_blk, dim_p), lambda i: (i, 0)))
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]          # coefs
     if kernel_rng:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seed
-    # gridless fast path when one block covers the batch (saves ~5 ms of
-    # Mosaic grid machinery on the headline 500-sample config)
-    x0_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if n_blk == 1 else
-               pl.BlockSpec((batch_blk, dim_p), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM))
+    in_specs.append(x_like_spec)                                # x0
+    if imputation:
+        in_specs += [x_like_spec, x_like_spec]                  # obs, mask
     in_specs += [
-        x0_spec,                                 # x0 (blocked when gridded)
         pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpre
         *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_blocks)],
         pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpost
@@ -309,6 +424,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # gn_scale
         pl.BlockSpec(memory_space=pltpu.VMEM),   # gn_bias
         pl.BlockSpec(memory_space=pltpu.VMEM),   # G
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # Gt
         pl.BlockSpec(memory_space=pl.ANY),       # tp_hbm
     ]
     if not kernel_rng:
@@ -319,14 +435,13 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         pltpu.VMEM((2, n_tp_pad, hidden), jnp.float32),  # tp double buffer
     ]
     if not kernel_rng:
-        scratch.append(pltpu.VMEM((2, batch_blk, dim_p), jnp.float32))
+        scratch.append(pltpu.VMEM((2, K, batch_blk, dim_p), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))        # sem_tp
     if not kernel_rng:
         scratch.append(pltpu.SemaphoreType.DMA((2,)))    # sem_nz
 
     out_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if n_blk == 1 else
-                pl.BlockSpec((batch_blk, dim_p), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM))
+                blocked((batch_blk, dim_p), lambda i: (i, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=() if n_blk == 1 else (n_blk,),
@@ -344,27 +459,108 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         interpret=interpret,
     )
 
+    def pad_xlike(a):
+        return jnp.zeros((batch_p, dim_p), jnp.float32).at[:batch, :dim].set(a)
+
     @jax.jit
-    def sampler(key, z=None, noise=None):
+    def sampler(key, observation=None, mask=None, z=None, noise=None):
+        if (observation is None) != (mask is None) or \
+                (observation is None) == imputation:
+            raise ValueError("observation/mask must be passed iff the sampler "
+                             "was built with imputation=True")
         k_prior, k_noise = jax.random.split(key)
         if z is None:
             x0 = sde.prior_sampling(k_prior, shape)
         else:
             x0 = z
-        x0p = jnp.zeros((batch_p, dim_p), jnp.float32).at[:batch, :dim].set(x0)
+        x0p = pad_xlike(x0)
+        extra = ()
+        if imputation:
+            extra = (pad_xlike(observation), pad_xlike(mask))
         if kernel_rng:
             seed = jax.random.randint(k_noise, (1,), 0, 2 ** 31 - 1, jnp.int32)
-            out = call(coefs, seed, x0p, Wpre, *Ws, Wpost, bpost, gn_scale,
-                       gn_bias, G, tp_all)
+            out = call(coefs, seed, x0p, *extra, Wpre, *Ws, Wpost, bpost,
+                       Gts, gn_bias, G, Gt, tp_all)
         else:
             if noise is None:
-                noise_p = jax.random.normal(k_noise, (n_steps, batch_p, dim_p),
-                                            jnp.float32)
-            else:  # injected noise [N, batch, dim] (tests / parity runs)
-                noise_p = jnp.zeros((n_steps, batch_p, dim_p), jnp.float32)
-                noise_p = noise_p.at[:, :batch, :dim].set(noise)
-            out = call(coefs, x0p, Wpre, *Ws, Wpost, bpost, gn_scale, gn_bias,
-                       G, tp_all, noise_p)
+                noise_p = jax.random.normal(
+                    k_noise, (n_steps, K, batch_p, dim_p), jnp.float32)
+            else:  # injected noise (tests / parity runs)
+                if noise.ndim == 3:  # plain [N, batch, dim] when K == 1
+                    noise = noise[:, None]
+                noise_p = jnp.zeros((n_steps, K, batch_p, dim_p), jnp.float32)
+                noise_p = noise_p.at[:, :, :batch, :dim].set(noise)
+            out = call(coefs, x0p, *extra, Wpre, *Ws, Wpost, bpost, Gts,
+                       gn_bias, G, Gt, tp_all, noise_p)
         return None, out[:batch, :dim]
+
+    return sampler
+
+
+def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
+                     rng_mode, batch_block, corrector, snr, n_corrector_steps,
+                     imputation, mesh, _ablate):
+    """shard_map the single-device kernel over the mesh's batch shards."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ...parallel.sharding import DATA_AXIS
+
+    batch, dim = shape
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} must be divisible by the mesh size "
+                         f"{n_dev} for the pallas sharded sampler")
+    shard_batch_n = batch // n_dev
+    inner = get_pallas_em_sampler(
+        sde, model, params, (shard_batch_n, dim), eps=eps, denoise=denoise,
+        interpret=interpret, rng_mode=rng_mode, batch_block=batch_block,
+        corrector=corrector, snr=snr, n_corrector_steps=n_corrector_steps,
+        imputation=imputation, mesh=None, _ablate=_ablate)
+    axis = DATA_AXIS
+    cache = {}
+
+    def build(sig):
+        has_obs, has_z, has_noise = sig
+
+        def shard_fn(key, *arrs):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            idx = 0
+            kwargs = {}
+            if has_obs:
+                kwargs["observation"], kwargs["mask"] = arrs[idx], arrs[idx + 1]
+                idx += 2
+            if has_z:
+                kwargs["z"] = arrs[idx]
+                idx += 1
+            if has_noise:
+                kwargs["noise"] = arrs[idx]
+            return inner(key, **kwargs)[1]
+
+        specs = [P()]
+        if has_obs:
+            specs += [P(axis, None), P(axis, None)]
+        if has_z:
+            specs += [P(axis, None)]
+        if has_noise:
+            specs += [P(None, None, axis, None)]
+        return jax.jit(jax.shard_map(shard_fn, mesh=mesh,
+                                     in_specs=tuple(specs),
+                                     out_specs=P(axis, None),
+                                     check_vma=False))
+
+    def sampler(key, observation=None, mask=None, z=None, noise=None):
+        if noise is not None and noise.ndim == 3:
+            noise = noise[:, None]
+        sig = (observation is not None, z is not None, noise is not None)
+        if sig not in cache:
+            cache[sig] = build(sig)
+        arrs = []
+        if observation is not None:
+            arrs += [observation, mask]
+        if z is not None:
+            arrs.append(z)
+        if noise is not None:
+            arrs.append(noise)
+        return None, cache[sig](key, *arrs)
 
     return sampler

@@ -46,29 +46,27 @@ class MotionDenoise:
         self.dposer_weight = dposer_weight
         self.batch_size = batch_size
         self.lr = lr
+        # jitted solvers cached per schedule so a directory/CSV eval over
+        # many fragments compiles ONCE (a fresh closure per sequence would
+        # retrace the whole 150+-step program every time)
+        self._run_cache: Dict[tuple, Callable] = {}
 
     def _body(self, poses):
         out = self.body_model(pose_body=poses)
         return out.v, out.Jtr
 
-    def optimize(self, key: jax.Array, joints3d: jnp.ndarray,
-                 gt_poses: Optional[jnp.ndarray] = None, time_strategy: str = "3",
-                 sample_trun: float = 2.0, sample_time: int = 990,
-                 iterations: int = 5, steps_per_iter: int = 50,
-                 verbose: bool = False) -> Dict[str, np.ndarray]:
-        """joints3d: [T, 22, 3] noisy joints; returns metric dict (cm) and
-        stores the denoised poses on ``self.last_poses``."""
-        T = joints3d.shape[0]
+    def _get_run(self, T: int, time_strategy: str, sample_trun: float,
+                 sample_time: int, iterations: int, steps_per_iter: int):
+        cache_key = (T, time_strategy, sample_trun, sample_time, iterations,
+                     steps_per_iter)
+        if cache_key in self._run_cache:
+            return self._run_cache[cache_key]
+
         total_steps = iterations * steps_per_iter
-        init_joints = jax.lax.stop_gradient(joints3d)
         timesteps = self.prior.timesteps
-
-        key, k_init = jax.random.split(key)
-        poses0 = 0.01 * jax.random.normal(k_init, (T, 63))
-
         opt = optax.adam(self.lr, b1=0.9, b2=0.999)
 
-        def total_loss(poses, k_t, k_z, step, it):
+        def total_loss(poses, init_joints, k_t, k_z, step, it):
             normed = self.normalizer.offline_normalize(poses, from_axis=True)
             quan_t = sample_quan_t(k_t, step, total_steps, self.sde.N,
                                    time_strategy, sample_trun, sample_time, offset=2)
@@ -86,14 +84,14 @@ class MotionDenoise:
             return w_temp * temp + w_data * data + w_dposer * dposer
 
         @jax.jit
-        def run(key, poses0):
+        def run(key, poses0, init_joints):
             opt_state = opt.init(poses0)
 
             def step(carry, i):
                 poses, opt_state = carry
                 it = i // steps_per_iter
                 k_t, k_z = jax.random.split(jax.random.fold_in(key, i))
-                grads = jax.grad(total_loss)(poses, k_t, k_z, i, it)
+                grads = jax.grad(total_loss)(poses, init_joints, k_t, k_z, i, it)
                 updates, opt_state = opt.update(grads, opt_state, poses)
                 poses = optax.apply_updates(poses, updates)
                 return (poses, opt_state), None
@@ -105,7 +103,25 @@ class MotionDenoise:
             smooth = smooth.at[0].set(poses[0]).at[-1].set(poses[-1])
             return smooth
 
-        poses = run(key, poses0)
+        self._run_cache[cache_key] = run
+        return run
+
+    def optimize(self, key: jax.Array, joints3d: jnp.ndarray,
+                 gt_poses: Optional[jnp.ndarray] = None, time_strategy: str = "3",
+                 sample_trun: float = 2.0, sample_time: int = 990,
+                 iterations: int = 5, steps_per_iter: int = 50,
+                 verbose: bool = False) -> Dict[str, np.ndarray]:
+        """joints3d: [T, 22, 3] noisy joints; returns metric dict (cm) and
+        stores the denoised poses on ``self.last_poses``."""
+        T = joints3d.shape[0]
+        init_joints = jax.lax.stop_gradient(joints3d)
+
+        key, k_init = jax.random.split(key)
+        poses0 = 0.01 * jax.random.normal(k_init, (T, 63))
+
+        run = self._get_run(T, time_strategy, sample_trun, sample_time,
+                            iterations, steps_per_iter)
+        poses = run(key, poses0, init_joints)
         self.last_poses = poses
 
         results: Dict[str, np.ndarray] = {}

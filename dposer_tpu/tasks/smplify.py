@@ -76,8 +76,74 @@ class SMPLify:
             "angle_prior_weight": jnp.asarray([150.0, 50.0, 30.0, 15.0, 5.0]),
         }
         self.stages = 5
+        # jitted once: an EHF-style directory loop (ref run/fitting.py) calls
+        # __call__ per image; per-call closures would retrace both stages
+        # every time
+        self._run_stage1 = jax.jit(self._stage1_impl)
+        self._run_stage2 = jax.jit(self._stage2_impl)
 
     # ------------------------------------------------------------------
+    def _stage1_impl(self, go, cam_t, betas, body_pose, init_cam_t,
+                     camera_center, joints_2d, joints_conf):
+        opt1 = optax.adam(self.step_size, b1=0.9, b2=0.999)
+
+        def cam_loss(var):
+            go_v, cam_t_v = var
+            out = self.smpl(betas=betas, body_pose=body_pose, global_orient=go_v,
+                            pose2rot=True, transl=cam_t_v)
+            return camera_fitting_loss(out.joints, cam_t_v, init_cam_t,
+                                       camera_center, joints_2d, joints_conf,
+                                       focal_length=self.focal_length)
+
+        var = (go, cam_t)
+        opt_state = opt1.init(var)
+
+        def step(carry, _):
+            var, opt_state = carry
+            grads = jax.grad(cam_loss)(var)
+            updates, opt_state = opt1.update(grads, opt_state, var)
+            return (optax.apply_updates(var, updates), opt_state), None
+
+        (var, _), _ = jax.lax.scan(step, (var, opt_state), None,
+                                   length=self.num_iters)
+        return var
+
+    def _stage2_impl(self, key, bp, bt, go, camera_translation, camera_center,
+                     joints_2d, conf):
+        opt2 = optax.adam(self.step_size, b1=0.9, b2=0.999)
+        total_steps = self.stages * self.num_iters
+
+        def body_loss(var, k_prior, k_t, i, stage):
+            bp_v, bt_v, go_v = var
+            out = self.smpl(betas=bt_v, body_pose=bp_v, global_orient=go_v,
+                            pose2rot=True, transl=camera_translation)
+            quan_t = sample_quan_t(k_t, i, total_steps, self.sde_N,
+                                   self.time_strategy, self.sample_trun,
+                                   self.sample_time, offset=5)
+            prior_val = self.pose_prior(k_prior, bp_v, bt_v, quan_t) \
+                if self.pose_prior is not None else None
+            return body_fitting_loss(
+                bp_v, bt_v, out.joints, camera_translation, camera_center,
+                joints_2d, conf, prior_val, focal_length=self.focal_length,
+                pose_prior_weight=self.loss_weights["pose_prior_weight"][stage],
+                shape_prior_weight=self.loss_weights["shape_prior_weight"][stage],
+                angle_prior_weight=self.loss_weights["angle_prior_weight"][stage])
+
+        var = (bp, bt, go)
+        opt_state = opt2.init(var)
+
+        def step(carry, i):
+            var, opt_state = carry
+            stage = i // self.num_iters
+            k_prior, k_t = jax.random.split(jax.random.fold_in(key, i))
+            grads = jax.grad(body_loss)(var, k_prior, k_t, i, stage)
+            updates, opt_state = opt2.update(grads, opt_state, var)
+            return (optax.apply_updates(var, updates), opt_state), None
+
+        (var, _), _ = jax.lax.scan(step, (var, opt_state),
+                                   jnp.arange(total_steps, dtype=jnp.int32))
+        return var
+
     def __call__(self, key, init_pose, init_betas, init_cam_t, camera_center,
                  keypoints_2d) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Fit. Returns (pose [B,66], betas, camera_translation, reproj_loss)."""
@@ -89,73 +155,16 @@ class SMPLify:
         betas = init_betas
 
         # ---- Stage 1: camera translation + global orientation ------------
-        opt1 = optax.adam(self.step_size, b1=0.9, b2=0.999)
-
-        def cam_loss(var):
-            go, cam_t = var
-            out = self.smpl(betas=betas, body_pose=body_pose, global_orient=go,
-                            pose2rot=True, transl=cam_t)
-            return camera_fitting_loss(out.joints, cam_t, init_cam_t, camera_center,
-                                       joints_2d, joints_conf,
-                                       focal_length=self.focal_length)
-
-        @jax.jit
-        def run_stage1(go, cam_t):
-            var = (go, cam_t)
-            opt_state = opt1.init(var)
-
-            def step(carry, _):
-                var, opt_state = carry
-                grads = jax.grad(cam_loss)(var)
-                updates, opt_state = opt1.update(grads, opt_state, var)
-                return (optax.apply_updates(var, updates), opt_state), None
-
-            (var, _), _ = jax.lax.scan(step, (var, opt_state), None,
-                                       length=self.num_iters)
-            return var
-
-        global_orient, camera_translation = run_stage1(global_orient, init_cam_t)
+        global_orient, camera_translation = self._run_stage1(
+            global_orient, init_cam_t, betas, body_pose, init_cam_t,
+            camera_center, joints_2d, joints_conf)
 
         # ---- Stage 2: body pose + betas + orient --------------------------
         conf = joints_conf.at[:, self.ign_joints].set(0.0)
-        opt2 = optax.adam(self.step_size, b1=0.9, b2=0.999)
-        total_steps = self.stages * self.num_iters
-
-        def body_loss(var, k_prior, k_t, i, stage):
-            bp, bt, go = var
-            out = self.smpl(betas=bt, body_pose=bp, global_orient=go,
-                            pose2rot=True, transl=camera_translation)
-            quan_t = sample_quan_t(k_t, i, total_steps, self.sde_N,
-                                   self.time_strategy, self.sample_trun,
-                                   self.sample_time, offset=5)
-            prior_val = self.pose_prior(k_prior, bp, bt, quan_t) \
-                if self.pose_prior is not None else None
-            return body_fitting_loss(
-                bp, bt, out.joints, camera_translation, camera_center,
-                joints_2d, conf, prior_val, focal_length=self.focal_length,
-                pose_prior_weight=self.loss_weights["pose_prior_weight"][stage],
-                shape_prior_weight=self.loss_weights["shape_prior_weight"][stage],
-                angle_prior_weight=self.loss_weights["angle_prior_weight"][stage])
-
-        @jax.jit
-        def run_stage2(key, bp, bt, go):
-            var = (bp, bt, go)
-            opt_state = opt2.init(var)
-
-            def step(carry, i):
-                var, opt_state = carry
-                stage = i // self.num_iters
-                k_prior, k_t = jax.random.split(jax.random.fold_in(key, i))
-                grads = jax.grad(body_loss)(var, k_prior, k_t, i, stage)
-                updates, opt_state = opt2.update(grads, opt_state, var)
-                return (optax.apply_updates(var, updates), opt_state), None
-
-            (var, _), _ = jax.lax.scan(step, (var, opt_state),
-                                       jnp.arange(total_steps, dtype=jnp.int32))
-            return var
-
         key, k2 = jax.random.split(key)
-        body_pose, betas, global_orient = run_stage2(k2, body_pose, betas, global_orient)
+        body_pose, betas, global_orient = self._run_stage2(
+            k2, body_pose, betas, global_orient, camera_translation,
+            camera_center, joints_2d, conf)
 
         # ---- final reprojection loss --------------------------------------
         out = self.smpl(betas=betas, body_pose=body_pose, global_orient=global_orient,

@@ -1,0 +1,128 @@
+"""Langevin-corrector / imputation / multi-device paths of the fused kernel.
+
+Chain of custody for correctness:
+  generic get_pc_sampler  ==  (torch reference loop — test_checkpoint_parity)
+  fast PC sampler (generic PRNG layout)  ==  generic get_pc_sampler   [here]
+  Pallas kernel (injected noise slabs)   ==  fast PC sampler          [here]
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dposer_tpu.diffusion import sde as sde_lib
+from dposer_tpu.diffusion.fast_sampler import get_fast_pc_sampler
+from dposer_tpu.diffusion.sampling import get_pc_sampler
+from dposer_tpu.diffusion.score_fn import get_score_fn
+from dposer_tpu.models import ScoreModelFC
+from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
+
+BATCH, DIM, N = 8, 63, 20
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+                         n_blocks=2, dropout=0.0, scale_by_sigma=True,
+                         num_scales=1000)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, DIM)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.SubVPSDE(N=N)
+    score_fn = get_score_fn(sde, lambda x, t: model.apply({"params": params}, x, t),
+                            continuous=True)
+    obs = 0.4 * jax.random.normal(jax.random.PRNGKey(3), (BATCH, DIM))
+    mask = jnp.zeros((BATCH, DIM)).at[:, 10:30].set(1.0)
+    return model, params, sde, score_fn, obs, mask
+
+
+@pytest.mark.parametrize("corrector,imputation", [
+    ("langevin", False), ("none", True), ("langevin", True)])
+def test_fast_pc_matches_generic_sampler(setup, corrector, imputation):
+    """Same PRNG layout -> outputs must agree to fp32 accumulation error."""
+    model, params, sde, score_fn, obs, mask = setup
+    key = jax.random.PRNGKey(7)
+    z0 = jax.random.normal(jax.random.PRNGKey(8), (BATCH, DIM))
+    kw = dict(observation=obs, mask=mask) if imputation else {}
+
+    generic = get_pc_sampler(sde, (BATCH, DIM), score_fn,
+                             predictor="euler_maruyama", corrector=corrector,
+                             snr=0.16, denoise=True, eps=1e-3,
+                             imputation=imputation)
+    _, a = generic(key, z=z0, **kw)
+
+    fast = get_fast_pc_sampler(sde, model, params, (BATCH, DIM), eps=1e-3,
+                               denoise=True, corrector=corrector, snr=0.16,
+                               imputation=imputation)
+    _, b = fast(key, z=z0, **kw)
+    # chaotic amplification of table-vs-on-the-fly fp32 rounding: compare at
+    # trajectory scale (a wiring bug shows as O(scale) error)
+    a = np.asarray(a)
+    scale = max(1.0, np.abs(a).max())
+    np.testing.assert_allclose(np.asarray(b), a, atol=1e-3 * scale)
+
+
+@pytest.mark.parametrize("corrector,imputation", [
+    ("langevin", False), ("none", True), ("langevin", True)])
+def test_pallas_kernel_matches_fast_pc(setup, corrector, imputation):
+    """Injected noise slabs through the kernel (interpret) vs the XLA twin."""
+    model, params, sde, score_fn, obs, mask = setup
+    S = 1 if corrector == "langevin" else 0
+    K = S + (2 if imputation else 0) + 1
+    z0 = jax.random.normal(jax.random.PRNGKey(9), (BATCH, DIM))
+    noise = jax.random.normal(jax.random.PRNGKey(10), (N, K, BATCH, DIM))
+    kw = dict(observation=obs, mask=mask) if imputation else {}
+
+    fast = get_fast_pc_sampler(sde, model, params, (BATCH, DIM), eps=1e-3,
+                               denoise=True, corrector=corrector, snr=0.16,
+                               imputation=imputation)
+    _, ref = fast(jax.random.PRNGKey(0), z=z0, noise=noise, **kw)
+
+    kern = get_pallas_em_sampler(sde, model, params, (BATCH, DIM), eps=1e-3,
+                                 denoise=True, corrector=corrector, snr=0.16,
+                                 imputation=imputation, interpret=True)
+    _, out = kern(jax.random.PRNGKey(0), z=z0, noise=noise, **kw)
+    ref = np.asarray(ref)
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2 * scale)
+
+
+def test_pallas_corrector_blocking_row_masks(setup):
+    """Batch < padded block: the corrector's batch-mean norms must ignore the
+    padded rows (their network output is nonzero)."""
+    model, params, sde, score_fn, obs, mask = setup
+    batch = 5  # pads to 128 inside the kernel
+    z0 = jax.random.normal(jax.random.PRNGKey(11), (batch, DIM))
+    noise = jax.random.normal(jax.random.PRNGKey(12), (N, 2, batch, DIM))
+    fast = get_fast_pc_sampler(sde, model, params, (batch, DIM), eps=1e-3,
+                               denoise=True, corrector="langevin", snr=0.16)
+    _, ref = fast(jax.random.PRNGKey(0), z=z0, noise=noise)
+    kern = get_pallas_em_sampler(sde, model, params, (batch, DIM), eps=1e-3,
+                                 denoise=True, corrector="langevin", snr=0.16,
+                                 interpret=True)
+    _, out = kern(jax.random.PRNGKey(0), z=z0, noise=noise)
+    ref = np.asarray(ref)
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2 * scale)
+
+
+def test_pallas_sharded_mesh_matches_single_device(setup):
+    """shard_map over the 8-device CPU mesh == the single-device kernel for
+    identical injected inputs."""
+    from dposer_tpu import parallel as par
+
+    model, params, sde, *_ = setup
+    mesh = par.make_mesh()
+    batch = 64
+    z0 = jax.random.normal(jax.random.PRNGKey(13), (batch, DIM))
+    noise = jax.random.normal(jax.random.PRNGKey(14), (N, 1, batch, DIM))
+
+    single = get_pallas_em_sampler(sde, model, params, (batch, DIM), eps=1e-3,
+                                   interpret=True)
+    _, a = single(jax.random.PRNGKey(0), z=z0, noise=noise)
+
+    sharded = get_pallas_em_sampler(sde, model, params, (batch, DIM), eps=1e-3,
+                                    interpret=True, mesh=mesh,
+                                    batch_block=batch // mesh.devices.size)
+    _, b = sharded(jax.random.PRNGKey(0), z=z0, noise=noise)
+    assert len(b.sharding.device_set) == 8, b.sharding
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
