@@ -20,7 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 B, H, N_STEPS, CHAIN = 512, 1024, 1000, 6
 
 
-def build(acc_dtype, unroll):
+def build(acc_dtype):
     def kernel(x0, *ws_and_out):
         ws = ws_and_out[:CHAIN]
         out_ref, x_st = ws_and_out[CHAIN], ws_and_out[CHAIN + 1]
@@ -32,11 +32,11 @@ def build(acc_dtype, unroll):
                 hb = h.astype(jnp.bfloat16)
                 h = jnp.dot(hb, ws[k][:], preferred_element_type=acc_dtype)
                 h = h.astype(jnp.float32)
-            # keep magnitudes bounded; cheap
-            x_st[:] = h * 1e-3
-            return 0
+            # accumulate so every iteration observably changes state
+            x_st[:] = x_st[:] * 0.5 + h * 1e-3
+            return i
 
-        jax.lax.fori_loop(0, N_STEPS, body, 0, unroll=unroll)
+        jax.lax.fori_loop(0, N_STEPS, body, 0)
         out_ref[:] = x_st[:]
 
     call = pl.pallas_call(
@@ -63,21 +63,20 @@ def main():
                             jnp.bfloat16) * 0.03 for k in range(CHAIN)]
     flops = 2 * B * H * H * CHAIN * N_STEPS
     for acc in (jnp.float32, jnp.bfloat16):
-        for unroll in (1, 2, 4):
-            run = build(acc, unroll)
+        run = build(acc)
+        x = run(x0, ws)
+        x.block_until_ready()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
             x = run(x0, ws)
             x.block_until_ready()
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                x = run(x0, ws)
-                x.block_until_ready()
-                times.append(time.perf_counter() - t0)
-            t = min(times)
-            us_per_mm = t / N_STEPS / CHAIN * 1e6
-            print(f"acc={acc.__name__:9s} unroll={unroll}  "
-                  f"{t * 1e3:7.2f} ms  {us_per_mm:5.2f} us/matmul  "
-                  f"{flops / t / 1e12:6.1f} TFLOP/s", flush=True)
+            times.append(time.perf_counter() - t0)
+        t = min(times)
+        us_per_mm = t / N_STEPS / CHAIN * 1e6
+        print(f"acc={acc.__name__:9s} {t * 1e3:7.2f} ms  {us_per_mm:5.2f} us/matmul  "
+              f"{flops / t / 1e12:6.1f} TFLOP/s  checksum={float(abs(x).sum()):.3e}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -121,8 +121,9 @@ def bench_completion_torch_cpu(probe_steps=10):
             perturbed = mean + std[:, None] * z
             with torch.no_grad():
                 score = -model(perturbed, t * 999) / std[:, None]
+            # alpha is [B, 1], sigma [B] (ref sde_lib.py:227-231)
             x0_hat = (perturbed + sigma[:, None] ** 2 * score) / alpha
-            snr = (alpha / sigma)[:, None]
+            snr = alpha / torch.sqrt(sigma)[:, None]
             dposer = (0.5 * torch.sqrt(1 + snr) * (x - x0_hat.detach()) ** 2).mean()
             data = ((x * mask - obs * mask) ** 2).mean()
             loss = 100.0 * data + 0.1 * dposer
