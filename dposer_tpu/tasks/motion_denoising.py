@@ -106,6 +106,30 @@ class MotionDenoise:
         self._run_cache[cache_key] = run
         return run
 
+    def optimize_batch(self, keys: jax.Array, joints3d: jnp.ndarray,
+                       time_strategy: str = "3", sample_trun: float = 2.0,
+                       sample_time: int = 990, iterations: int = 5,
+                       steps_per_iter: int = 50) -> jnp.ndarray:
+        """Denoise F independent fragments at once: ``keys [F]``,
+        ``joints3d [F, T, 22, 3]`` -> poses ``[F, T, 63]``, vmapping the
+        cached fused solver over the fragment axis (the reference — and
+        ``optimize`` — runs fragments sequentially; per-fragment results are
+        identical to ``optimize`` for the same key, tested in
+        test_tasks.py)."""
+        T = joints3d.shape[1]
+        run = self._get_run(T, time_strategy, sample_trun, sample_time,
+                            iterations, steps_per_iter)
+        vkey = ("vmap", T, time_strategy, sample_trun, sample_time,
+                iterations, steps_per_iter)
+        if vkey not in self._run_cache:
+            def one(k, joints):
+                k, k_init = jax.random.split(k)
+                poses0 = 0.01 * jax.random.normal(k_init, (T, 63))
+                return run(k, poses0, jax.lax.stop_gradient(joints))
+
+            self._run_cache[vkey] = jax.jit(jax.vmap(one))
+        return self._run_cache[vkey](keys, joints3d)
+
     def optimize(self, key: jax.Array, joints3d: jnp.ndarray,
                  gt_poses: Optional[jnp.ndarray] = None, time_strategy: str = "3",
                  sample_trun: float = 2.0, sample_time: int = 990,
@@ -126,17 +150,22 @@ class MotionDenoise:
 
         results: Dict[str, np.ndarray] = {}
         if gt_poses is not None:
-            v_gt, j_gt = self._body(gt_poses)
-            init_err = _safe_norm(joints3d - j_gt[:, :22]).mean(-1) * 100.0
-            v_out, j_out = self._body(poses)
-            mpjpe = _safe_norm(j_out[:, :22] - j_gt[:, :22]).mean(-1) * 100.0
-            mpvpe = _safe_norm(v_out - v_gt).mean(-1) * 100.0
-            results = {"init_MPJPE": np.asarray(init_err), "MPJPE": np.asarray(mpjpe),
-                       "MPVPE": np.asarray(mpvpe)}
+            results = self.metrics(poses, joints3d, gt_poses)
             if verbose:
                 print("before denoising:{:0.8f} cm".format(results["init_MPJPE"].mean()))
                 print("after denoising:{:0.8f} cm".format(results["MPJPE"].mean()))
         return results
+
+    def metrics(self, poses: jnp.ndarray, joints3d: jnp.ndarray,
+                gt_poses: jnp.ndarray) -> Dict[str, np.ndarray]:
+        """Per-frame init-MPJPE / MPJPE / MPVPE in cm (ref :292-299)."""
+        v_gt, j_gt = self._body(gt_poses)
+        init_err = _safe_norm(joints3d - j_gt[:, :22]).mean(-1) * 100.0
+        v_out, j_out = self._body(poses)
+        mpjpe = _safe_norm(j_out[:, :22] - j_gt[:, :22]).mean(-1) * 100.0
+        mpvpe = _safe_norm(v_out - v_gt).mean(-1) * 100.0
+        return {"init_MPJPE": np.asarray(init_err), "MPJPE": np.asarray(mpjpe),
+                "MPVPE": np.asarray(mpvpe)}
 
 
 def noise_schedule_kwargs(std: float) -> Dict:

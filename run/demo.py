@@ -221,20 +221,47 @@ def main(args):
         else:
             # ScoreSDE imputation inside the reverse sampler; hypotheses via
             # vmap (replaces the reference's sequential loop, ref demo.py:
-            # 359-362), batch data-parallel over the mesh
-            sampler = sampling_lib.get_sampling_fn(
-                config, sde, observation.shape, score_fn, inverse_scaler=None,
-                eps=sampling_eps, imputation=True, jit=False)
+            # 359-362). Prefer the single-kernel Pallas path (one kernel per
+            # hypothesis, batch folded into the block grid); fall back to
+            # the XLA scan, data-parallel over the mesh.
+            multihypo = None
+            if (config.sampling.method == "pc"
+                    and config.sampling.predictor == "euler_maruyama"
+                    and config.sampling.corrector == "none"
+                    and config.model.embedding_type == "positional"):
+                try:
+                    from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
 
-            @jax.jit
-            def multi_imput(keys, obs, msk):
-                obs = jax.lax.with_sharding_constraint(obs, par.batch_sharding(mesh))
-                msk = jax.lax.with_sharding_constraint(msk, par.batch_sharding(mesh))
-                outs = jax.vmap(lambda k: sampler(k, observation=obs, mask=msk)[1])(keys)
-                return jnp.swapaxes(outs, 0, 1)  # [B, hypo, D]
+                    s = get_pallas_em_sampler(
+                        sde, model, params, observation.shape, eps=sampling_eps,
+                        denoise=config.sampling.noise_removal, imputation=True,
+                        rng_mode="kernel",
+                        mesh=mesh if mesh.devices.size > 1 else None)
+                    outs = []
+                    for h in range(hypo_num):
+                        key, kh = jax.random.split(key)
+                        _, completion = s(kh, observation=observation, mask=mask)
+                        outs.append(completion)
+                    multihypo = jnp.stack(outs, axis=1)
+                    print("[sampler] pallas single-kernel imputation path")
+                except Exception as e:
+                    print(f"[sampler] pallas unavailable ({type(e).__name__}); "
+                          f"using XLA scan")
+            if multihypo is None:
+                sampler = sampling_lib.get_sampling_fn(
+                    config, sde, observation.shape, score_fn, inverse_scaler=None,
+                    eps=sampling_eps, imputation=True, jit=False)
 
-            key, kh = jax.random.split(key)
-            multihypo = multi_imput(jax.random.split(kh, hypo_num), observation, mask)
+                @jax.jit
+                def multi_imput(keys, obs, msk):
+                    obs = jax.lax.with_sharding_constraint(obs, par.batch_sharding(mesh))
+                    msk = jax.lax.with_sharding_constraint(msk, par.batch_sharding(mesh))
+                    outs = jax.vmap(lambda k: sampler(k, observation=obs, mask=msk)[1])(keys)
+                    return jnp.swapaxes(outs, 0, 1)  # [B, hypo, D]
+
+                key, kh = jax.random.split(key)
+                multihypo = multi_imput(jax.random.split(kh, hypo_num),
+                                        observation, mask)
 
         preds = normalizer.offline_denormalize(multihypo, to_axis=True)
         evaler = Evaler(body_model=body_model, part=args.part)

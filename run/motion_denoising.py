@@ -42,6 +42,10 @@ def parse_args(argv):
                         default="../humor/out/amass_joints_noisy_fitting/results_out")
     parser.add_argument("--dataset", type=str, default="AMASS")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--batch-fragments", type=int, default=8,
+                        help="fragments denoised per vmapped TPU program in "
+                             "directory mode (beyond-reference; the reference "
+                             "runs fragments sequentially)")
     return parser.parse_args(argv[1:])
 
 
@@ -117,12 +121,54 @@ def main(args):
     with open(csv_path, "w", newline="") as f:
         csv.writer(f).writerow(["Sequence", "init_MPJPE", "MPJPE", "MPVPE"])
 
+    import jax.numpy as jnp
+
+    from dposer_tpu.body_model.smplx_jax import BodyModel
+    from dposer_tpu.tasks import MotionDenoise
+    from dposer_tpu.tasks.motion_denoising import noise_schedule_kwargs
+
+    # fragments grouped by length and denoised --batch-fragments at a time
+    # under ONE vmapped program (beyond-reference: the reference loops
+    # sequences sequentially, ref motion_denoising.py:385-397); per-sequence
+    # PRNG is keyed by sequence index, so results are independent of the
+    # batching
+    dposer_weight = 1e-1 if args.time_strategy == "1" else 1.0
+    sched = noise_schedule_kwargs(args.noise_std)
+    gts = {seq: np.load(os.path.join(args.data_dir, seq))["pose_body"].astype(np.float32)
+           for seq in seqs}
+    by_len = {}
+    for i, seq in enumerate(seqs):
+        by_len.setdefault(gts[seq].shape[0], []).append((i, seq))
+
+    results_by_seq = {}
+    for T, group in sorted(by_len.items()):
+        body_model = BodyModel(bm_path=args.bodymodel_path, model_type="smplx",
+                               batch_size=T, num_betas=10)
+        md = MotionDenoise(sde, score_fn, body_model, normalizer,
+                           dposer_weight=dposer_weight, batch_size=T)
+        for c0 in range(0, len(group), args.batch_fragments):
+            chunk = group[c0:c0 + args.batch_fragments]
+            noisy, opt_keys, gt_stack = [], [], []
+            for i, seq in chunk:
+                k_noise, k_opt = jax.random.split(jax.random.fold_in(key, i))
+                gt = jnp.asarray(gts[seq])
+                joints = body_model(pose_body=gt).Jtr[:, :22]
+                noisy.append(joints + args.noise_std
+                             * jax.random.normal(k_noise, joints.shape))
+                opt_keys.append(k_opt)
+                gt_stack.append(gt)
+            noisy = jnp.stack(noisy)
+            poses = md.optimize_batch(jnp.stack(opt_keys), noisy,
+                                      time_strategy=args.time_strategy, **sched)
+            for j, (i, seq) in enumerate(chunk):
+                res = md.metrics(poses[j], noisy[j], gt_stack[j])
+                results_by_seq[seq] = res
+                print(f"{seq}: init {res['init_MPJPE'].mean():.4f} cm -> "
+                      f"MPJPE {res['MPJPE'].mean():.4f} cm")
+
     all_results = {}
     for seq in seqs:
-        key, k_seq = jax.random.split(key)
-        results = denoise(config, args, sde, score_fn, normalizer,
-                          os.path.join(args.data_dir, seq), None,
-                          std=args.noise_std, verbose=True, key=k_seq)
+        results = results_by_seq[seq]
         with open(csv_path, "a", newline="") as f:
             csv.writer(f).writerow(
                 [seq] + [np.mean(results[k]) for k in ["init_MPJPE", "MPJPE", "MPVPE"]])

@@ -281,3 +281,29 @@ def test_demo_generation_process(workdir):
     assert "Video saved at" in out
     assert os.path.exists(os.path.join(workdir["out"], "generation_process",
                                        "generation_process0.mp4"))
+
+
+def test_motion_denoising_directory_mode(workdir):
+    """Directory mode: fragments grouped by length, denoised in vmapped
+    batches, per-sequence CSV written (ref run/motion_denoising.py:385-411)."""
+    rng = np.random.default_rng(9)
+    ddir = os.path.join(workdir["out"], "md_dir")
+    os.makedirs(ddir, exist_ok=True)
+    for i in range(3):
+        np.savez(os.path.join(ddir, f"seq{i}.npz"),
+                 pose_body=(0.25 * rng.normal(size=(6, 63))).astype(np.float32))
+    outdir = os.path.join(workdir["out"], "md_dir_out")
+    out = run_cli([
+        "run.motion_denoising", "--config", workdir["config"],
+        "--ckpt-path", workdir["ckpt"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--bodymodel-path", workdir["bm"],
+        "--data-dir", ddir, "--batch-fragments", "2",
+        "--outpath-folder", outdir,
+        "--noise-std", "0.04"])
+    assert "The average of MPJPE" in out
+    csv_path = os.path.join(outdir, "AMASS_results_logging.csv")
+    assert os.path.exists(csv_path)
+    with open(csv_path) as f:
+        rows = f.read().strip().splitlines()
+    assert len(rows) == 4  # header + 3 sequences

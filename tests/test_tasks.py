@@ -124,3 +124,25 @@ def test_noise_schedules():
     assert noise_schedule_kwargs(0.02)["sample_trun"] == 10.0
     with pytest.raises(NotImplementedError):
         noise_schedule_kwargs(0.5)
+
+
+def test_motion_denoising_batch_matches_sequential(motion_setup, rng):
+    """optimize_batch (vmapped fragments) == per-fragment optimize for the
+    same keys — the run.motion_denoising directory-mode fast path."""
+    bm, nz = motion_setup
+    sde = sde_lib.SubVPSDE(N=100)
+    md = MotionDenoise(sde, gaussian_score(sde, m0=0.0, s0=0.3), bm, nz,
+                       dposer_weight=1.0, batch_size=12)
+    T, F = 12, 3
+    kwargs = dict(time_strategy="3", iterations=1, steps_per_iter=5,
+                  sample_trun=4.0)
+    noisy = jnp.asarray((0.3 * rng.normal(size=(F, T, 22, 3))).astype(np.float32))
+    keys = jnp.stack([jax.random.PRNGKey(100 + i) for i in range(F)])
+
+    batched = md.optimize_batch(keys, noisy, **kwargs)
+    assert batched.shape == (F, T, 63)
+    for i in range(F):
+        md.optimize(keys[i], noisy[i], gt_poses=None, **kwargs)
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(md.last_poses),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"fragment {i}")
