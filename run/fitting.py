@@ -30,6 +30,12 @@ parser.add_argument("--data-dir", type=str, required=True)
 parser.add_argument("--outdir", type=str, default="lifting_results/output")
 parser.add_argument("--device", type=str, default=None, help="unused")
 parser.add_argument("--seed", type=int, default=42)
+parser.add_argument("--batch-images", type=int, default=4,
+                    help="images fitted per jitted SMPLify program "
+                         "(beyond-reference; the reference fits one at a "
+                         "time). Images in one batch share the per-step "
+                         "diffusion time draw; per-image metrics are "
+                         "computed individually")
 
 
 def main(args):
@@ -56,55 +62,77 @@ def main(args):
     json_paths = sorted(glob(f"{args.data_dir}/*_2Djnt.json"))
     gt_ply_paths = sorted(glob(f"{args.data_dir}/*_align.ply"))
     all_eval = {"pa_mpjpe_body": [], "mpjpe_body": []}
-    pose_prior = build_dposer_prior(args, batch_size=1)
     bend_pose = np.load(constants.BEND_POSE_PATH)["pose"]
 
-    for img_path, json_path, gt_ply_path in zip(img_paths, json_paths, gt_ply_paths):
-        img_name = os.path.splitext(os.path.basename(img_path))[0]
-        orig_img_bgr_all = [cv2.imread(img_path)]
-        json_data = json.load(open(json_path))
-        keypoints = np.array(json_data["people"][0]["pose_keypoints_2d"]).reshape(25, 3)
+    # images are fitted --batch-images at a time through ONE jitted SMPLify
+    # program (all per-image rows are independent in the fitting loss);
+    # engines are cached per (focal, batch) so the EHF loop compiles once
+    # rather than per image (ref run/fitting.py:62-130 fits sequentially)
+    items = list(zip(img_paths, json_paths, gt_ply_paths))
+    priors, fitters = {}, {}
 
-        bboxes = compute_bbox(json_data)
-        bend_init = bboxes[0, 2] > 400  # wide bbox -> seated (ref fitting.py:71)
-        bboxes = np.array([[0, 400, 100, 1000, 1200]])  # manual EHF bbox (ref :72)
-        batch_size = 1
+    for c0 in range(0, len(items), args.batch_images):
+        chunk = items[c0:c0 + args.batch_images]
+        B = len(chunk)
+        imgs, kpts49, bends, names, plys = [], [], [], [], []
+        for img_path, json_path, gt_ply_path in chunk:
+            imgs.append(cv2.imread(img_path))
+            json_data = json.load(open(json_path))
+            kp = np.array(json_data["people"][0]["pose_keypoints_2d"]).reshape(25, 3)
+            row = np.zeros((49, 3), np.float32)
+            row[:25] = kp
+            kpts49.append(row)
+            bb = compute_bbox(json_data)
+            bends.append(bb[0, 2] > 400)  # wide bbox -> seated (ref fitting.py:71)
+            names.append(os.path.splitext(os.path.basename(img_path))[0])
+            plys.append(gt_ply_path)
 
-        mocap_db = MocapDataset(orig_img_bgr_all, bboxes, body_model=smpl.bm)
+        # manual EHF bbox per image (ref :72); detection row = [img_idx, bbox]
+        det = np.concatenate([np.arange(B, dtype=np.float32)[:, None],
+                              np.tile([[400, 100, 1000, 1200]], (B, 1))], axis=1)
+        mocap_db = MocapDataset(imgs, det, body_model=smpl.bm)
         batch = mocap_db.batch()
         center = jnp.asarray(batch["center"])
         scale = jnp.asarray(batch["scale"])
         img_h, img_w = jnp.asarray(batch["img_h"]), jnp.asarray(batch["img_w"])
         focal_length = jnp.asarray(batch["focal_length"])
+        if not np.allclose(batch["focal_length"], batch["focal_length"][0]):
+            raise ValueError("images with different sizes in one batch; "
+                             "use --batch-images 1")
 
-        kpts = np.zeros((1, 49, 3), np.float32)
-        kpts[0, :25] = keypoints
-        keypoints49 = jnp.asarray(kpts)
-
+        keypoints49 = jnp.asarray(np.stack(kpts49))
         full_img_shape = jnp.stack((img_h, img_w), axis=-1)
-        init_cam_t = cam_crop2full(jnp.asarray([[0.9, 0.0, 0.0]]), center, scale,
-                                   full_img_shape, focal_length)
-        smpl_poses = jnp.tile(smpl.mean_poses[: N_POSES * 3][None], (batch_size, 1))
-        if bend_init:
-            smpl_poses = jnp.asarray(bend_pose[:, : N_POSES * 3])
-        init_betas = jnp.tile(smpl.mean_shape[None], (batch_size, 1))
+        init_cam_t = cam_crop2full(jnp.tile(jnp.asarray([[0.9, 0.0, 0.0]]), (B, 1)),
+                                   center, scale, full_img_shape, focal_length)
+        smpl_poses = np.tile(np.asarray(smpl.mean_poses[: N_POSES * 3])[None], (B, 1))
+        for i, bend in enumerate(bends):
+            if bend:
+                smpl_poses[i] = bend_pose[0, : N_POSES * 3]
+        smpl_poses = jnp.asarray(smpl_poses)
+        init_betas = jnp.tile(smpl.mean_shape[None], (B, 1))
         camera_center = jnp.stack([img_w, img_h], axis=-1) / 2
 
-        smplify = SMPLify(smpl, pose_prior=pose_prior, step_size=1e-2,
-                          batch_size=batch_size, num_iters=100,
-                          focal_length=float(focal_length[0]),
-                          time_strategy=args.time_strategy, sde_N=args.sde_N)
+        fkey = (round(float(focal_length[0]), 3), B)
+        if fkey not in fitters:
+            prior = priors.setdefault(B, build_dposer_prior(args, batch_size=B))
+            fitters[fkey] = SMPLify(smpl, pose_prior=prior, step_size=1e-2,
+                                    batch_size=B, num_iters=100,
+                                    focal_length=fkey[0],
+                                    time_strategy=args.time_strategy,
+                                    sde_N=args.sde_N)
         key, kf = jax.random.split(key)
-        results = smplify(kf, smpl_poses, init_betas, init_cam_t, camera_center,
-                          keypoints49)
+        results = fitters[fkey](kf, smpl_poses, init_betas, init_cam_t,
+                                camera_center, keypoints49)
         np_results = tuple(None if r is None else np.asarray(r) for r in results)
-        batch_eval = mocap_db.eval_EHF(np_results, gt_ply_path)
-        mocap_db.print_eval_result(batch_eval)
-        all_eval["pa_mpjpe_body"].extend(batch_eval["pa_mpjpe_body"])
-        all_eval["mpjpe_body"].extend(batch_eval["mpjpe_body"])
 
-        np.savez(os.path.join(args.outdir, f"{img_name}_fit.npz"),
-                 pose=np_results[0], betas=np_results[1], cam_t=np_results[2])
+        for i in range(B):
+            one = tuple(None if r is None else r[i:i + 1] for r in np_results)
+            batch_eval = mocap_db.eval_EHF(one, plys[i])
+            mocap_db.print_eval_result(batch_eval)
+            all_eval["pa_mpjpe_body"].extend(batch_eval["pa_mpjpe_body"])
+            all_eval["mpjpe_body"].extend(batch_eval["mpjpe_body"])
+            np.savez(os.path.join(args.outdir, f"{names[i]}_fit.npz"),
+                     pose=one[0], betas=one[1], cam_t=one[2])
 
     print("results on whole dataset:")
     MocapDataset.print_eval_result(all_eval)
