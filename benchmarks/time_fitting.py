@@ -221,6 +221,82 @@ def bench_smplify(tmp):
     return t
 
 
+def bench_motion_denoising_batched(tmp, F=8):
+    """Directory-mode fast path: F fragments per vmapped program."""
+    from dposer_tpu.body_model.smplx_jax import BodyModel
+    from dposer_tpu.data import PoseNormalizer
+    from dposer_tpu.tasks.motion_denoising import MotionDenoise, noise_schedule_kwargs
+
+    bm_path, stats = full_size_body(tmp)
+    model, params = flagship()
+    sde = SubVPSDE(N=500)
+    body = BodyModel(bm_path=bm_path, num_betas=10, batch_size=60,
+                     model_type="smplx")
+    normalizer = PoseNormalizer(data_path=stats, normalize=True, min_max=False,
+                                rot_rep="axis")
+    md = MotionDenoise(sde, score_fn_for(model, params, sde), body, normalizer,
+                       batch_size=60)
+    kwargs = noise_schedule_kwargs(0.04)
+    n_steps = kwargs["iterations"] * kwargs["steps_per_iter"]
+    joints = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (F, 60, 22, 3))
+    keys = jax.random.split(jax.random.PRNGKey(4), F)
+    out = md.optimize_batch(keys, joints, time_strategy="3", **kwargs)
+    out.block_until_ready()
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = md.optimize_batch(jax.random.split(jax.random.PRNGKey(5 + i), F),
+                                joints, time_strategy="3", **kwargs)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    report(f"motion denoising, {F} fragments vmapped", t, n_steps,
+           f"  [= {t / F * 1e3:6.1f} ms/fragment]")
+    return t
+
+
+def bench_smplify_batched(tmp, B=8):
+    """run.fitting fast path: B images per jitted SMPLify program."""
+    from dposer_tpu.body_model.smplx_fit import SMPLXFit
+    from dposer_tpu.data import PoseNormalizer
+    from dposer_tpu.tasks.smplify import DPoser, SMPLify
+
+    bm_path, stats = full_size_body(tmp)
+    model, params = flagship()
+    sde = SubVPSDE(N=500)
+    normalizer = PoseNormalizer(data_path=stats, normalize=True, min_max=False,
+                                rot_rep="axis")
+    smpl = SMPLXFit(bm_path, batch_size=B)
+    prior = DPoser(sde, score_fn_for(model, params, sde), normalizer, batch_size=B)
+    fitter = SMPLify(smpl, pose_prior=prior, step_size=1e-2, batch_size=B,
+                     num_iters=100, focal_length=1500.0, sde_N=500)
+
+    kp = json.load(open("/root/reference/examples/image_00077_keypoints.json"))
+    arr = np.asarray(kp["people"][0]["pose_keypoints_2d"], np.float32).reshape(1, 25, 3)
+    kpts = np.concatenate([arr, np.zeros((1, 24, 3), np.float32)], axis=1)
+    kpts = jnp.asarray(np.tile(kpts, (B, 1, 1)))
+    init_pose = jnp.tile(jnp.concatenate([jnp.zeros((1, 3)),
+                                          smpl.mean_poses[3:66][None]], axis=1),
+                         (B, 1))
+    betas = jnp.tile(smpl.mean_shape[None], (B, 1))
+    cam_t = jnp.tile(jnp.asarray([[0.0, 0.0, 5.0]]), (B, 1))
+    center = jnp.tile(jnp.asarray([[600.0, 400.0]]), (B, 1))
+
+    args_ = (jax.random.PRNGKey(6), init_pose, betas, cam_t, center, kpts)
+    out = fitter(*args_)
+    jax.block_until_ready(out[0])
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = fitter(*args_)
+        jax.block_until_ready(out[0])
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    report(f"SMPLify, {B} images batched", t, 600,
+           f"  [= {t / B * 1e3:6.1f} ms/image]")
+    return t
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     bench_completion()
@@ -229,6 +305,8 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         bench_motion_denoising(tmp)
         bench_smplify(tmp)
+        bench_motion_denoising_batched(tmp)
+        bench_smplify_batched(tmp)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,10 @@ def parse_args(argv):
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a device trace of steps 10-20 into this "
+                             "directory (TensorBoard profile plugin; new "
+                             "capability — the reference has no profiling)")
     return parser.parse_args(argv[1:])
 
 
@@ -79,6 +83,7 @@ def main(args):
     from dposer_tpu.utils import checkpoint as ckpt_lib
     from dposer_tpu.utils.generic import MetricWriter, create_logger
     from dposer_tpu.utils.masks import create_mask
+    from dposer_tpu.utils.profiling import StepTimer
 
     config = FLAGS.config
     key = jax.random.PRNGKey(args.seed)
@@ -227,23 +232,33 @@ def main(args):
             "step": int(state.step)}))
         return path
 
+    timer = StepTimer()
     while step < num_train_steps and not stop_requested["flag"]:
         batch = next(batches)
         key, k_step = jax.random.split(key)
+        if args.profile_dir and step == 10:
+            jax.profiler.start_trace(args.profile_dir)
         state, loss_dict = sharded_step(state, k_step,
                                         par.shard_global_batch(mesh, batch))
         step = int(state.step)
+        if args.profile_dir and step == 20:
+            jax.profiler.stop_trace()
+            logger.info(f"device trace (steps 10-20) saved to {args.profile_dir}")
         if stop_requested["flag"]:
             break  # skip eval/periodic-save; the preemption checkpoint follows
 
         for k, v in loss_dict.items():
             metrics[k] = metrics.get(k, 0.0) + float(v)
+        timer.tick()  # float(v) above already synchronized the step
         if step % config.training.log_freq == 0:
             msg = f"Iter: [{step}/{num_train_steps}, {step / num_train_steps * 100:.2f}%],\t"
             for k in list(metrics):
                 writer.add_scalar(k, metrics[k] / config.training.log_freq, step)
                 msg += f"{k}: {metrics[k] / config.training.log_freq:.6f},\t"
                 metrics[k] = 0.0
+            if timer.steps_per_sec:
+                msg += f"steps/s: {timer.steps_per_sec:.1f},\t"
+                writer.add_scalar("steps_per_sec", timer.steps_per_sec, step)
             logger.info(msg)
 
         if step % config.training.eval_freq == 0:
