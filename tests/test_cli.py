@@ -307,3 +307,37 @@ def test_motion_denoising_directory_mode(workdir):
     with open(csv_path) as f:
         rows = f.read().strip().splitlines()
     assert len(rows) == 4  # header + 3 sequences
+
+
+def test_fitting_cli_batched_images(workdir):
+    """Two EHF images fitted through ONE jitted SMPLify program
+    (--batch-images 2); per-image npz outputs written."""
+    import shutil
+
+    ehf = os.path.join(workdir["out"], "ehf_batch")
+    os.makedirs(ehf, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in (1, 2):
+        shutil.copy("/root/reference/examples/image_00077.jpg",
+                    os.path.join(ehf, f"0{i}_img.jpg"))
+        shutil.copy("/root/reference/examples/image_00077_keypoints.json",
+                    os.path.join(ehf, f"0{i}_2Djnt.json"))
+        verts = rng.normal(size=(120, 3)).astype("<f4")
+        with open(os.path.join(ehf, f"0{i}_align.ply"), "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\nelement vertex 120\n")
+            f.write(b"property float x\nproperty float y\nproperty float z\nend_header\n")
+            f.write(verts.tobytes())
+
+    outdir = os.path.join(workdir["out"], "ehf_batch_out")
+    out = run_cli([
+        "run.fitting",
+        "--data-dir", ehf,
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--config-path", "tests.cli_tiny_config.get_config",
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--sde-N", "50", "--batch-images", "2",
+        "--outdir", outdir], timeout=560)
+    assert "results on whole dataset" in out
+    assert os.path.exists(os.path.join(outdir, "01_img_fit.npz"))
+    assert os.path.exists(os.path.join(outdir, "02_img_fit.npz"))
