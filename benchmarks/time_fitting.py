@@ -184,7 +184,6 @@ def bench_motion_denoising(tmp):
 def bench_smplify(tmp):
     from dposer_tpu.body_model.smplx_fit import SMPLXFit
     from dposer_tpu.data import PoseNormalizer
-    from dposer_tpu.data.preprocess import compute_bbox
     from dposer_tpu.tasks.smplify import DPoser, SMPLify
 
     bm_path, stats = full_size_body(tmp)

@@ -501,7 +501,7 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
                      rng_mode, batch_block, corrector, snr, n_corrector_steps,
                      imputation, mesh, _ablate):
     """shard_map the single-device kernel over the mesh's batch shards."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from ...parallel.sharding import DATA_AXIS
 

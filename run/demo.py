@@ -110,6 +110,7 @@ def main(args):
                                           corrector=config.sampling.corrector,
                                           snr=config.sampling.snr,
                                           n_corrector_steps=config.sampling.n_steps_each,
+                                          rng_mode="kernel",
                                           mesh=mesh if mesh.devices.size > 1 else None)
                 s(jax.random.PRNGKey(0))  # compile probe
                 print(f"[sampler] pallas single-kernel path "
