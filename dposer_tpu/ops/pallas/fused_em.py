@@ -549,6 +549,10 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
                                      check_vma=False))
 
     def sampler(key, observation=None, mask=None, z=None, noise=None):
+        if (observation is None) != (mask is None) or \
+                (observation is None) == imputation:
+            raise ValueError("observation/mask must be passed iff the sampler "
+                             "was built with imputation=True")
         if noise is not None and noise.ndim == 3:
             noise = noise[:, None]
         sig = (observation is not None, z is not None, noise is not None)

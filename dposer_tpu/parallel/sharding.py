@@ -132,6 +132,29 @@ def data_parallel_sampler(sampler: Callable, mesh: Mesh) -> Callable:
     return run
 
 
+def multi_hypothesis_imputation_sampler(sampler: Callable, mesh: Mesh) -> Callable:
+    """Hypotheses via vmap + batch data-parallel over the mesh, jitted once.
+
+    ``run(keys [H], observation [B, D], mask [B, D]) -> [B, H, D]`` for an
+    imputation sampler with the ``get_pc_sampler`` contract — replaces the
+    reference's sequential hypothesis loop (ref run/demo.py:359-362,
+    run/train.py:289-292). Shared by run.demo completion2 and run.train eval.
+    """
+    import jax.numpy as jnp
+
+    bshard = batch_sharding(mesh)
+
+    @jax.jit
+    def run(keys, observation, mask):
+        observation = jax.lax.with_sharding_constraint(observation, bshard)
+        mask = jax.lax.with_sharding_constraint(mask, bshard)
+        outs = jax.vmap(
+            lambda k: sampler(k, observation=observation, mask=mask)[1])(keys)
+        return jnp.swapaxes(outs, 0, 1)  # [B, H, D]
+
+    return run
+
+
 def pad_batch_to_multiple(batch: np.ndarray, multiple: int):
     """Pad dim 0 up to a multiple (repeating the last row) -> (padded, n).
 

@@ -93,15 +93,20 @@ def main(args):
 
     mesh = par.make_mesh()
 
+    def pallas_eligible(allowed_correctors):
+        """One predicate for every Pallas-vs-XLA routing decision in this
+        CLI (kernel scope: EM predictor, positional temb)."""
+        return (config.sampling.method == "pc"
+                and config.sampling.predictor == "euler_maruyama"
+                and config.sampling.corrector in allowed_correctors
+                and config.model.embedding_type == "positional")
+
     def build_generation_sampler(shape, eps):
         """Prefer the single-kernel Pallas sampler when the config matches
         its scope (EM predictor, none/langevin corrector, positional temb);
         fall back to the generic fused-scan sampler — data-parallel over all
         local devices — otherwise or off-TPU."""
-        if (config.sampling.method == "pc"
-                and config.sampling.predictor == "euler_maruyama"
-                and config.sampling.corrector in ("none", "langevin")
-                and config.model.embedding_type == "positional"):
+        if pallas_eligible(("none", "langevin")):
             try:
                 from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
 
@@ -226,10 +231,7 @@ def main(args):
             # hypothesis, batch folded into the block grid); fall back to
             # the XLA scan, data-parallel over the mesh.
             multihypo = None
-            if (config.sampling.method == "pc"
-                    and config.sampling.predictor == "euler_maruyama"
-                    and config.sampling.corrector == "none"
-                    and config.model.embedding_type == "positional"):
+            if pallas_eligible(("none",)):
                 try:
                     from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
 
@@ -252,14 +254,7 @@ def main(args):
                 sampler = sampling_lib.get_sampling_fn(
                     config, sde, observation.shape, score_fn, inverse_scaler=None,
                     eps=sampling_eps, imputation=True, jit=False)
-
-                @jax.jit
-                def multi_imput(keys, obs, msk):
-                    obs = jax.lax.with_sharding_constraint(obs, par.batch_sharding(mesh))
-                    msk = jax.lax.with_sharding_constraint(msk, par.batch_sharding(mesh))
-                    outs = jax.vmap(lambda k: sampler(k, observation=obs, mask=msk)[1])(keys)
-                    return jnp.swapaxes(outs, 0, 1)  # [B, hypo, D]
-
+                multi_imput = par.multi_hypothesis_imputation_sampler(sampler, mesh)
                 key, kh = jax.random.split(key)
                 multihypo = multi_imput(jax.random.split(kh, hypo_num),
                                         observation, mask)

@@ -114,8 +114,9 @@ def main(args):
 
         fkey = (round(float(focal_length[0]), 3), B)
         if fkey not in fitters:
-            prior = priors.setdefault(B, build_dposer_prior(args, batch_size=B))
-            fitters[fkey] = SMPLify(smpl, pose_prior=prior, step_size=1e-2,
+            if B not in priors:  # setdefault would rebuild the prior eagerly
+                priors[B] = build_dposer_prior(args, batch_size=B)
+            fitters[fkey] = SMPLify(smpl, pose_prior=priors[B], step_size=1e-2,
                                     batch_size=B, num_iters=100,
                                     focal_length=fkey[0],
                                     time_strategy=args.time_strategy,

@@ -233,17 +233,22 @@ def main(args):
         return path
 
     timer = StepTimer()
+    local_step = 0  # steps taken by THIS process run (robust under resume)
+    trace_active = False
     while step < num_train_steps and not stop_requested["flag"]:
         batch = next(batches)
         key, k_step = jax.random.split(key)
-        if args.profile_dir and step == 10:
+        if args.profile_dir and local_step == 10:
             jax.profiler.start_trace(args.profile_dir)
+            trace_active = True
         state, loss_dict = sharded_step(state, k_step,
                                         par.shard_global_batch(mesh, batch))
         step = int(state.step)
-        if args.profile_dir and step == 20:
+        local_step += 1
+        if trace_active and local_step == 20:
             jax.profiler.stop_trace()
-            logger.info(f"device trace (steps 10-20) saved to {args.profile_dir}")
+            trace_active = False
+            logger.info(f"device trace (local steps 10-20) saved to {args.profile_dir}")
         if stop_requested["flag"]:
             break  # skip eval/periodic-save; the preemption checkpoint follows
 
@@ -279,17 +284,8 @@ def main(args):
                 config, sde, sampling_shape, score_fn, inverse_scaler=None,
                 eps=sampling_eps, imputation=True, jit=False)
             hypo_num = 5
-
-            @jax.jit
-            def multi_imput_sampler(keys, observation, mask):
-                observation = jax.lax.with_sharding_constraint(
-                    observation, par.batch_sharding(mesh_local))
-                mask = jax.lax.with_sharding_constraint(
-                    mask, par.batch_sharding(mesh_local))
-                outs = jax.vmap(
-                    lambda k: imput_raw(k, observation=observation, mask=mask)[1]
-                )(keys)  # [hypo, B, D]
-                return jnp.swapaxes(outs, 0, 1)
+            multi_imput_sampler = par.multi_hypothesis_imputation_sampler(
+                imput_raw, mesh_local)
 
             eval_metrics = {"bpd": [], "mpvpe_all": [], "mpjpe_body": []}
             all_samples = []
@@ -363,6 +359,10 @@ def main(args):
         if step % config.training.save_freq == 0:
             logger.info(f"Save checkpoint to {final_output_dir}")
             save_checkpoint()
+
+    if trace_active:  # loop ended between local steps 10 and 20
+        jax.profiler.stop_trace()
+        logger.info(f"device trace saved to {args.profile_dir}")
 
     if stop_requested["flag"]:
         path = save_checkpoint()
