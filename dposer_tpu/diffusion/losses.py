@@ -264,3 +264,28 @@ def get_step_fn(sde: SDE, train: bool, model_apply: Callable,
             return state, loss_dict
 
     return step_fn
+
+
+def multi_step(step_fn):
+    """Scan ``K`` training steps in ONE dispatch (TPU-native amortization).
+
+    ``fn(state, key, batches [K, B, D]) -> (state, loss_dict of [K])``.
+    Each substep consumes ``fold_in(key, j)`` and is numerically identical
+    to calling ``step_fn`` K times with those keys — only the per-step
+    host->device dispatch (~25-30 us on a tunneled chip) is amortized.
+    The reference dispatches per step from Python (ref train.py:245-247).
+    """
+    import jax
+
+    def fn(state, key, batches):
+        keys = jax.vmap(lambda j: jax.random.fold_in(key, j))(
+            jnp.arange(batches.shape[0]))
+
+        def body(carry, inp):
+            k, batch = inp
+            new_state, loss_dict = step_fn(carry, k, batch)
+            return new_state, loss_dict
+
+        return jax.lax.scan(body, state, (keys, batches))
+
+    return fn

@@ -95,6 +95,34 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh) -> Callable:
                    out_shardings=(repl, repl))
 
 
+def shard_global_multi_batch(mesh: Mesh, batches) -> jax.Array:
+    """Place ``[K, B, D]`` step-stacked batches with dim 1 batch-sharded
+    (multi-host form mirrors :func:`shard_global_batch`)."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(batches, sh)
+    from jax.experimental import multihost_utils
+
+    pc = jax.process_count()
+    n = batches.shape[1]
+    if n % pc:
+        raise ValueError(f"global batch {n} must be divisible by {pc} processes")
+    per = n // pc
+    local = np.asarray(batches)[:, jax.process_index() * per:
+                                (jax.process_index() + 1) * per]
+    return multihost_utils.host_local_array_to_global_array(
+        local, mesh, P(None, DATA_AXIS))
+
+
+def data_parallel_multi_step(multi_step_fn: Callable, mesh: Mesh) -> Callable:
+    """Like :func:`data_parallel_step` for a K-step scan:
+    ``fn(state, key, batches [K, B, D])`` with dim 1 batch-sharded."""
+    repl = replicate(mesh)
+    return jax.jit(multi_step_fn,
+                   in_shardings=(repl, repl, NamedSharding(mesh, P(None, DATA_AXIS))),
+                   out_shardings=(repl, repl))
+
+
 def data_parallel_sampler(sampler: Callable, mesh: Mesh) -> Callable:
     """Compile a built sampler data-parallel over the mesh (jitted ONCE).
 

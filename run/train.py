@@ -54,6 +54,11 @@ def parse_args(argv):
                         help="capture a device trace of steps 10-20 into this "
                              "directory (TensorBoard profile plugin; new "
                              "capability — the reference has no profiling)")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="train steps scanned per device dispatch "
+                             "(amortizes the ~25-30us per-dispatch overhead "
+                             "on tunneled chips; log/eval/save freqs must be "
+                             "divisible by it)")
     return parser.parse_args(argv[1:])
 
 
@@ -193,9 +198,21 @@ def main(args):
     if config.training.batch_size % n_dev:
         raise ValueError(f"batch {config.training.batch_size} must be divisible "
                          f"by the {n_dev} mesh devices")
+    K = max(1, args.steps_per_dispatch)
+    for freq, name in ((config.training.log_freq, "log_freq"),
+                       (config.training.eval_freq, "eval_freq"),
+                       (config.training.save_freq, "save_freq"),
+                       (config.training.n_iters, "n_iters")):
+        if K > 1 and freq % K:
+            raise ValueError(f"{name}={freq} must be divisible by "
+                             f"--steps-per-dispatch={K}")
     sharded_step = par.data_parallel_step(train_step, mesh)
+    if K > 1:
+        sharded_multi = par.data_parallel_multi_step(
+            losses_lib.multi_step(train_step), mesh)
     logger.info(f"data-parallel over {n_dev} device(s) / "
-                f"{jax.process_count()} process(es): {mesh.devices.ravel()[:4]}...")
+                f"{jax.process_count()} process(es), {K} step(s)/dispatch: "
+                f"{mesh.devices.ravel()[:4]}...")
 
     def eval_score_fn_for(eval_params):
         return get_score_fn(sde, lambda x, t: model.apply({"params": eval_params}, x, t),
@@ -235,36 +252,51 @@ def main(args):
     timer = StepTimer()
     local_step = 0  # steps taken by THIS process run (robust under resume)
     trace_active = False
+    trace_done = False
     while step < num_train_steps and not stop_requested["flag"]:
-        batch = next(batches)
         key, k_step = jax.random.split(key)
-        if args.profile_dir and local_step == 10:
+        if args.profile_dir and not trace_active and not trace_done \
+                and local_step >= 10:
             jax.profiler.start_trace(args.profile_dir)
             trace_active = True
-        state, loss_dict = sharded_step(state, k_step,
-                                        par.shard_global_batch(mesh, batch))
+        if K == 1:
+            batch = next(batches)
+            state, loss_dict = sharded_step(state, k_step,
+                                            par.shard_global_batch(mesh, batch))
+            sub_losses = [{k: float(v) for k, v in loss_dict.items()}]
+        else:
+            stack = np.stack([np.asarray(next(batches)) for _ in range(K)])
+            state, loss_dicts = sharded_multi(
+                state, k_step, par.shard_global_multi_batch(mesh, stack))
+            sub_losses = [{k: float(v[j]) for k, v in loss_dicts.items()}
+                          for j in range(K)]
+        prev_step = step
         step = int(state.step)
-        local_step += 1
-        if trace_active and local_step == 20:
+        local_step += K
+        if trace_active and local_step >= 20:
             jax.profiler.stop_trace()
             trace_active = False
+            trace_done = True
             logger.info(f"device trace (local steps 10-20) saved to {args.profile_dir}")
         if stop_requested["flag"]:
             break  # skip eval/periodic-save; the preemption checkpoint follows
 
-        for k, v in loss_dict.items():
-            metrics[k] = metrics.get(k, 0.0) + float(v)
-        timer.tick()  # float(v) above already synchronized the step
-        if step % config.training.log_freq == 0:
-            msg = f"Iter: [{step}/{num_train_steps}, {step / num_train_steps * 100:.2f}%],\t"
-            for k in list(metrics):
-                writer.add_scalar(k, metrics[k] / config.training.log_freq, step)
-                msg += f"{k}: {metrics[k] / config.training.log_freq:.6f},\t"
-                metrics[k] = 0.0
-            if timer.steps_per_sec:
-                msg += f"steps/s: {timer.steps_per_sec:.1f},\t"
-                writer.add_scalar("steps_per_sec", timer.steps_per_sec, step)
-            logger.info(msg)
+        timer.tick()  # per dispatch; float(...) above already synchronized
+        for j, loss_dict in enumerate(sub_losses):
+            s_j = prev_step + j + 1
+            for k, v in loss_dict.items():
+                metrics[k] = metrics.get(k, 0.0) + v
+            if s_j % config.training.log_freq == 0:
+                msg = f"Iter: [{s_j}/{num_train_steps}, {s_j / num_train_steps * 100:.2f}%],\t"
+                for k in list(metrics):
+                    writer.add_scalar(k, metrics[k] / config.training.log_freq, s_j)
+                    msg += f"{k}: {metrics[k] / config.training.log_freq:.6f},\t"
+                    metrics[k] = 0.0
+                if timer.steps_per_sec:
+                    steps_per_sec = timer.steps_per_sec * K
+                    msg += f"steps/s: {steps_per_sec:.1f},\t"
+                    writer.add_scalar("steps_per_sec", steps_per_sec, s_j)
+                logger.info(msg)
 
         if step % config.training.eval_freq == 0:
             logger.info("start validating")
