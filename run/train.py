@@ -298,7 +298,9 @@ def main(args):
                     writer.add_scalar("steps_per_sec", steps_per_sec, s_j)
                 logger.info(msg)
 
-        if step % config.training.eval_freq == 0:
+        # "crossed a multiple of freq this dispatch": == 0 for K == 1; after
+        # resuming from a non-K-aligned step, plain % == 0 could never fire
+        if step % config.training.eval_freq < K <= step:
             logger.info("start validating")
             ema_params = state.ema.shadow_params
             score_fn = eval_score_fn_for(ema_params)
@@ -388,7 +390,7 @@ def main(args):
                         "decay": state.ema.decay},
                      "step": int(state.step)})
 
-        if step % config.training.save_freq == 0:
+        if step % config.training.save_freq < K <= step:
             logger.info(f"Save checkpoint to {final_output_dir}")
             save_checkpoint()
 
