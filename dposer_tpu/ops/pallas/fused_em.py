@@ -85,14 +85,16 @@ def _box_muller(shape):
 def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
                  dim: int, dim_p: int, hidden: int, denoise: bool,
                  kernel_rng: bool, n_corr: int, imputation: bool, snr: float,
-                 gridded: bool = True, ablate: frozenset = frozenset()):
+                 gridded: bool = True, gn_vpu: bool = False,
+                 ablate: frozenset = frozenset()):
     """Kernel body builder. Ref layout (all VMEM unless noted):
 
     refs = [coefs (SMEM [N, 8]), seed (SMEM [1], kernel_rng only),
             x0, (obs, mask — imputation only),
             Wpre, W[2*n_blocks], Wpost, bpost,
-            Gts (VMEM [1+2*n_blocks, NG, H], scale-folded), gn_bias,
-            G (VMEM [H, NG], mean-normalized), Gt (VMEM [NG, H]),
+            gn_vpu: gn_scale (VMEM [1+2*n_blocks, H]), gn_bias;
+            else:   Gts (VMEM [1+2*n_blocks, NG, H], scale-folded), gn_bias,
+                    G (VMEM [H, NG], mean-normalized), Gt (VMEM [NG, H]),
             tp_hbm (ANY [N, n_tp_pad, H]),
             noise_hbm (ANY [N, K, Bp, Dp], host-rng mode only),
             out_ref,
@@ -104,6 +106,38 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
     """
     n_tp = 1 + 2 * n_blocks
     K = n_corr + (2 if imputation else 0) + 1  # noise slabs per step
+
+    def group_norm_vpu(h, scale_row, bias_row):
+        """GN with zero matmuls: the build pre-permutes the hidden dim so
+        feature p belongs to group ``p % 32`` (lane-strided groups). Group
+        sums then collapse to per-lane-tile VPU adds followed by two lane
+        rolls (lane l accumulates lanes {l, l+32, l+64, l+96}), leaving the
+        group stats replicated in exactly the lanes that need them — no
+        broadcast matmul either. Stats run one-pass in fp32 off the fp32
+        matmul accumulators, which is *more* accurate than the bf16
+        two-pass matmul path it replaces (bf16 rounds h to 8 bits first).
+        """
+        if "gn" in ablate:  # measurement-only ablation
+            return h
+        n_t = hidden // 128
+        inv_gs = 1.0 / (hidden // NUM_GROUPS)
+        s1 = h[:, 0:128]
+        s2 = s1 * s1
+        for kk in range(1, n_t):
+            t = h[:, 128 * kk:128 * (kk + 1)]
+            s1 = s1 + t
+            s2 = s2 + t * t
+        s1 = s1 + pltpu.roll(s1, 32, 1)
+        s1 = s1 + pltpu.roll(s1, 64, 1)
+        s2 = s2 + pltpu.roll(s2, 32, 1)
+        s2 = s2 + pltpu.roll(s2, 64, 1)
+        mu = s1 * inv_gs
+        var = s2 * inv_gs - mu * mu
+        a = jax.lax.rsqrt(jnp.maximum(var, 0.0) + GN_EPS)
+        if n_t > 1:  # tile the per-group stats back to full width
+            mu = jnp.concatenate([mu] * n_t, axis=1)
+            a = jnp.concatenate([a] * n_t, axis=1)
+        return (h - mu) * (a * scale_row) + bias_row
 
     def group_norm(h, G, Gt, Gts_j, bias_row):
         """GN(h)*scale + bias as ``(h - mean)*af + bias``.
@@ -146,13 +180,28 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
         Wpre = rest[0]
         Ws = rest[1:1 + 2 * n_blocks]
         rest = rest[1 + 2 * n_blocks:]
+        Wpost, bpost = rest[:2]
+        rest = rest[2:]
+        if gn_vpu:
+            gn_scale, gn_bias = rest[:2]
+            rest = rest[2:]
+            Gts = G = Gt = None
+        else:
+            Gts, gn_bias, G, Gt = rest[:4]
+            rest = rest[4:]
         if kernel_rng:
-            (Wpost, bpost, Gts, gn_bias, G, Gt, tp_hbm, out_ref,
-             x_st, tp_buf, sem_tp) = rest
+            (tp_hbm, out_ref, x_st, tp_buf, sem_tp) = rest
             noise_hbm = nz_buf = sem_nz = None
         else:
-            (Wpost, bpost, Gts, gn_bias, G, Gt, tp_hbm, noise_hbm, out_ref,
-             x_st, tp_buf, nz_buf, sem_tp, sem_nz) = rest
+            (tp_hbm, noise_hbm, out_ref, x_st, tp_buf, nz_buf,
+             sem_tp, sem_nz) = rest
+
+        def gnorm(h, j):
+            if gn_vpu:
+                return group_norm_vpu(h, gn_scale[j, :][None, :],
+                                      gn_bias[j, :][None, :])
+            return group_norm(h, G[:], Gt[:], Gts[j],
+                              gn_bias[j, :][None, :])
 
         i_blk = pl.program_id(0) if gridded else 0
         row0 = i_blk * batch_blk
@@ -193,7 +242,7 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
             xb = x.astype(jnp.bfloat16)
             h = jnp.dot(xb, Wpre[:], preferred_element_type=jnp.float32)
             h = h + tp_buf[slot, 0, :][None, :]
-            h = group_norm(h, G[:], Gt[:], Gts[0], gn_bias[0, :][None, :])
+            h = gnorm(h, 0)
             h = act(h)
             for blk in range(n_blocks):
                 w1 = Ws[2 * blk]
@@ -201,14 +250,12 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
                 h1 = jnp.dot(h.astype(jnp.bfloat16), w1[:],
                              preferred_element_type=jnp.float32)
                 h1 = h1 + tp_buf[slot, 1 + 2 * blk, :][None, :]
-                h1 = group_norm(h1, G[:], Gt[:], Gts[1 + 2 * blk],
-                                gn_bias[1 + 2 * blk, :][None, :])
+                h1 = gnorm(h1, 1 + 2 * blk)
                 h1 = act(h1)
                 h2 = jnp.dot(h1.astype(jnp.bfloat16), w2[:],
                              preferred_element_type=jnp.float32)
                 h2 = h2 + tp_buf[slot, 2 + 2 * blk, :][None, :]
-                h2 = group_norm(h2, G[:], Gt[:], Gts[2 + 2 * blk],
-                                gn_bias[2 + 2 * blk, :][None, :])
+                h2 = gnorm(h2, 2 + 2 * blk)
                 h2 = act(h2)
                 h = h + h2
             res = jnp.dot(h.astype(jnp.bfloat16), Wpost[:],
@@ -290,7 +337,8 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           rng_mode: str = "host", batch_block: int = 512,
                           corrector: str = "none", snr: float = 0.16,
                           n_corrector_steps: int = 1, imputation: bool = False,
-                          mesh=None, _ablate: frozenset = frozenset()):
+                          mesh=None, gn: str = "auto",
+                          _ablate: frozenset = frozenset()):
     """Build the single-kernel PC sampler.
 
     ``sampler(key, observation=None, mask=None, z=None, noise=None) ->
@@ -316,7 +364,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         return _sharded_sampler(sde, model, params, shape, eps, denoise,
                                 interpret, rng_mode, batch_block, corrector,
                                 snr, n_corrector_steps, imputation, mesh,
-                                _ablate)
+                                gn, _ablate)
 
     kernel_rng = rng_mode == "kernel"
     # VMEM budget guard: weights (bf16) + x/noise/tp buffers + ~3 live
@@ -364,21 +412,42 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     def bf16(a):
         return jnp.asarray(a, jnp.bfloat16)
 
+    # lane-strided GN: permute the hidden dim so feature p lands in group
+    # p % NUM_GROUPS — GN then needs zero matmuls (see group_norm_vpu). The
+    # permutation is applied consistently to every producer (dense columns,
+    # temb rows, GN affine) and consumer (dense rows) of the hidden axis, so
+    # the network function is unchanged.
+    assert gn in ("auto", "vpu", "mm")
+    gn_vpu = hidden % 128 == 0 if gn == "auto" else gn == "vpu"
+    if gn_vpu and hidden % 128:
+        raise ValueError("gn='vpu' needs hidden % 128 == 0")
+    if gn_vpu:
+        gs = hidden // NUM_GROUPS
+        p = np.arange(hidden)
+        k_t, lane = p // 128, p % 128
+        perm = gs * (lane % NUM_GROUPS) + (4 * k_t + lane // NUM_GROUPS)
+        assert np.array_equal(np.sort(perm), np.arange(hidden))
+    else:
+        perm = np.arange(hidden)
+
     Wpre = jnp.zeros((dim_p, hidden), jnp.bfloat16).at[:dim].set(
-        bf16(params["pre_dense"]["kernel"]))
+        bf16(np.asarray(params["pre_dense"]["kernel"])[:, perm]))
     Ws = []
-    tp_rows = [tprojs["pre_dense_t"] + params["pre_dense"]["bias"][None, :]]
+    tp_rows = [(tprojs["pre_dense_t"]
+                + params["pre_dense"]["bias"][None, :])[:, perm]]
     gn_names = ["pre_gnorm"]
     for blk in range(n_blocks):
-        Ws.append(bf16(params[f"b{blk + 1}_dense1"]["kernel"]))
-        Ws.append(bf16(params[f"b{blk + 1}_dense2"]["kernel"]))
-        tp_rows.append(tprojs[f"b{blk + 1}_dense1_t"]
-                       + params[f"b{blk + 1}_dense1"]["bias"][None, :])
-        tp_rows.append(tprojs[f"b{blk + 1}_dense2_t"]
-                       + params[f"b{blk + 1}_dense2"]["bias"][None, :])
+        Ws.append(bf16(np.asarray(
+            params[f"b{blk + 1}_dense1"]["kernel"])[perm][:, perm]))
+        Ws.append(bf16(np.asarray(
+            params[f"b{blk + 1}_dense2"]["kernel"])[perm][:, perm]))
+        tp_rows.append((tprojs[f"b{blk + 1}_dense1_t"]
+                        + params[f"b{blk + 1}_dense1"]["bias"][None, :])[:, perm])
+        tp_rows.append((tprojs[f"b{blk + 1}_dense2_t"]
+                        + params[f"b{blk + 1}_dense2"]["bias"][None, :])[:, perm])
         gn_names.extend([f"b{blk + 1}_gnorm1", f"b{blk + 1}_gnorm2"])
     Wpost = jnp.zeros((hidden, dim_p), jnp.bfloat16).at[:, :dim].set(
-        bf16(params["post_dense"]["kernel"]))
+        bf16(np.asarray(params["post_dense"]["kernel"])[perm, :]))
     bpost = jnp.zeros((1, dim_p), jnp.float32).at[0, :dim].set(
         jnp.asarray(params["post_dense"]["bias"], jnp.float32))
 
@@ -386,23 +455,31 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     n_tp_pad = _round_up(1 + 2 * n_blocks, 8)
     tp_all = jnp.stack([r.astype(jnp.float32) for r in tp_rows], axis=1)  # [N, n_tp, H]
     tp_all = jnp.pad(tp_all, ((0, 0), (0, n_tp_pad - tp_all.shape[1]), (0, 0)))
-    gn_bias = jnp.stack([jnp.asarray(params[n]["bias"], jnp.float32) for n in gn_names])
+    gn_bias = jnp.stack([jnp.asarray(
+        np.asarray(params[n]["bias"], np.float32)[perm]) for n in gn_names])
 
-    # group-indicator matrix [H, NG], carrying 1/group_size so dot(h, G) is
-    # the group mean directly (1/32 is exact in bf16)
-    group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
-    indicator = np.eye(NUM_GROUPS, dtype=np.float32)[group_ids]  # [H, NG]
-    G = jnp.asarray(indicator / (hidden // NUM_GROUPS), jnp.bfloat16)
-    # transposed indicator with each GN's scale folded in: [n_tp, NG, H]
-    Gts = jnp.stack([
-        jnp.asarray(indicator.T * np.asarray(params[n]["scale"], np.float32)[None, :],
-                    jnp.bfloat16) for n in gn_names])
-    Gt = jnp.asarray(indicator.T, jnp.bfloat16)  # plain broadcast [NG, H]
+    if gn_vpu:
+        gn_scale = jnp.stack([jnp.asarray(
+            np.asarray(params[n]["scale"], np.float32)[perm]) for n in gn_names])
+        gn_args = (gn_scale, gn_bias)
+    else:
+        # group-indicator matrix [H, NG], carrying 1/group_size so dot(h, G)
+        # is the group mean directly (1/32 is exact in bf16)
+        group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
+        indicator = np.eye(NUM_GROUPS, dtype=np.float32)[group_ids]  # [H, NG]
+        G = jnp.asarray(indicator / (hidden // NUM_GROUPS), jnp.bfloat16)
+        # transposed indicator with each GN's scale folded in: [n_tp, NG, H]
+        Gts = jnp.stack([
+            jnp.asarray(indicator.T * np.asarray(params[n]["scale"], np.float32)[None, :],
+                        jnp.bfloat16) for n in gn_names])
+        Gt = jnp.asarray(indicator.T, jnp.bfloat16)  # plain broadcast [NG, H]
+        gn_args = (Gts, gn_bias, G, Gt)
 
     kernel_rng = rng_mode == "kernel"
     kernel = _make_kernel(n_steps, n_blocks, batch, batch_blk, dim, dim_p,
                           hidden, denoise, kernel_rng, n_corr, imputation,
-                          snr, gridded=n_blk > 1, ablate=_ablate)
+                          snr, gridded=n_blk > 1, gn_vpu=gn_vpu,
+                          ablate=_ablate)
 
     def blocked(spec_shape, index_map):
         return pl.BlockSpec(spec_shape, index_map, memory_space=pltpu.VMEM)
@@ -421,10 +498,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_blocks)],
         pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpost
         pl.BlockSpec(memory_space=pltpu.VMEM),   # bpost
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # gn_scale
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # gn_bias
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # G
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # Gt
+        *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in gn_args],
         pl.BlockSpec(memory_space=pl.ANY),       # tp_hbm
     ]
     if not kernel_rng:
@@ -480,7 +554,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         if kernel_rng:
             seed = jax.random.randint(k_noise, (1,), 0, 2 ** 31 - 1, jnp.int32)
             out = call(coefs, seed, x0p, *extra, Wpre, *Ws, Wpost, bpost,
-                       Gts, gn_bias, G, Gt, tp_all)
+                       *gn_args, tp_all)
         else:
             if noise is None:
                 noise_p = jax.random.normal(
@@ -490,8 +564,8 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                     noise = noise[:, None]
                 noise_p = jnp.zeros((n_steps, K, batch_p, dim_p), jnp.float32)
                 noise_p = noise_p.at[:, :, :batch, :dim].set(noise)
-            out = call(coefs, x0p, *extra, Wpre, *Ws, Wpost, bpost, Gts,
-                       gn_bias, G, Gt, tp_all, noise_p)
+            out = call(coefs, x0p, *extra, Wpre, *Ws, Wpost, bpost,
+                       *gn_args, tp_all, noise_p)
         return None, out[:batch, :dim]
 
     return sampler
@@ -499,7 +573,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
 
 def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
                      rng_mode, batch_block, corrector, snr, n_corrector_steps,
-                     imputation, mesh, _ablate):
+                     imputation, mesh, gn, _ablate):
     """shard_map the single-device kernel over the mesh's batch shards."""
     from jax.sharding import PartitionSpec as P
 
@@ -515,7 +589,7 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
         sde, model, params, (shard_batch_n, dim), eps=eps, denoise=denoise,
         interpret=interpret, rng_mode=rng_mode, batch_block=batch_block,
         corrector=corrector, snr=snr, n_corrector_steps=n_corrector_steps,
-        imputation=imputation, mesh=None, _ablate=_ablate)
+        imputation=imputation, mesh=None, gn=gn, _ablate=_ablate)
     axis = DATA_AXIS
     cache = {}
 
