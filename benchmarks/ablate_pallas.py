@@ -2,7 +2,11 @@
 
 Attributes per-step time to GN / SiLU / noise / DMA by building kernel
 variants with pieces disabled (measurement-only; semantics intentionally
-wrong for ablated parts). Run ONE at a time on the tunneled chip:
+wrong for ablated parts). Times are steady-state: M runs enqueued
+back-to-back with one device-to-host read forcing completion of the last
+(ordered execution bounds all M) — a single timed call on this tunneled
+host otherwise includes ~25 ms of fixed RPC dispatch latency. Run ONE at a
+time on the tunneled chip:
 
     python -u benchmarks/ablate_pallas.py
 """
@@ -14,12 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dposer_tpu.diffusion.sde import SubVPSDE
 from dposer_tpu.models import ScoreModelFC
 from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
 
 BATCH, DIM, N = 500, 63, 1000
+M_PIPE = 8
 
 
 def build():
@@ -35,14 +41,15 @@ def time_variant(name, model, params, sde, **kw):
     sampler = get_pallas_em_sampler(sde, model, params, (BATCH, DIM), eps=1e-3,
                                     **kw)
     _, x = sampler(jax.random.PRNGKey(1))
-    x.block_until_ready()
+    np.asarray(x)  # force true completion before timing
     compile_s = time.perf_counter() - t0
     times = []
-    for i in range(4):
+    for r in range(3):
         t0 = time.perf_counter()
-        _, x = sampler(jax.random.PRNGKey(2 + i))
-        x.block_until_ready()
-        times.append(time.perf_counter() - t0)
+        outs = [sampler(jax.random.PRNGKey(2 + r * M_PIPE + i))[1]
+                for i in range(M_PIPE)]
+        np.asarray(outs[-1])
+        times.append((time.perf_counter() - t0) / M_PIPE)
     ms = min(times) * 1e3
     print(f"{name:34s} {ms:8.2f} ms/1000steps  ({BATCH / min(times):7.0f} poses/s)"
           f"  [compile {compile_s:.0f}s]", flush=True)
@@ -54,6 +61,8 @@ def main():
     model, params, sde = build()
     time_variant("host-rng baseline", model, params, sde, rng_mode="host")
     time_variant("kernel-rng baseline", model, params, sde, rng_mode="kernel")
+    time_variant("kernel-rng, gn=mm", model, params, sde, rng_mode="kernel",
+                 gn="mm")
     time_variant("kernel-rng, no noise", model, params, sde, rng_mode="kernel",
                  _ablate=frozenset({"noise"}))
     time_variant("kernel-rng, no GN", model, params, sde, rng_mode="kernel",

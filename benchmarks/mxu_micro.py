@@ -4,6 +4,12 @@ Isolates what a [512,1024]x[1024,1024] bf16 matmul chain actually costs in a
 Pallas fori_loop (vs the 197 TFLOP/s roofline), with/without fp32 accumulate
 and with loop unrolling — to pin the fused sampler's true speed-of-light.
 
+Timing is steady-state: M launches enqueued back-to-back, completion of the
+last forced with a D2H read. A single timed call on this tunneled host
+includes ~25 ms of fixed RPC dispatch latency (see PERFORMANCE.md), which
+earlier versions of this benchmark wrongly attributed to per-matmul issue
+overhead (9.6 us/matmul single-call -> ~4.8 us/matmul steady-state).
+
     python -u benchmarks/mxu_micro.py
 """
 import os
@@ -14,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -65,13 +72,15 @@ def main():
     for acc in (jnp.float32, jnp.bfloat16):
         run = build(acc)
         x = run(x0, ws)
-        x.block_until_ready()
+        np.asarray(x)  # compile + force true completion
+        M = 8
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            x = run(x0, ws)
-            x.block_until_ready()
-            times.append(time.perf_counter() - t0)
+            for _i in range(M):
+                x = run(x0, ws)
+            np.asarray(x)
+            times.append((time.perf_counter() - t0) / M)
         t = min(times)
         us_per_mm = t / N_STEPS / CHAIN * 1e6
         print(f"acc={acc.__name__:9s} {t * 1e3:7.2f} ms  {us_per_mm:5.2f} us/matmul  "

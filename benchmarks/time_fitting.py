@@ -50,6 +50,23 @@ def report(name, seconds, n_iters, extra=""):
           f"({n_iters / seconds:8.1f} iters/s){extra}", flush=True)
 
 
+def steady(launch, m_pipe=4, rounds=3):
+    """Steady-state seconds/task: enqueue m_pipe tasks back-to-back, force
+    completion of the last with a D2H read (device execution is ordered, so
+    it bounds all of them). A single timed call on this tunneled host
+    includes ~25 ms of fixed RPC dispatch latency (see PERFORMANCE.md);
+    `launch(i)` must return a device array from dispatch i."""
+    times = []
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(m_pipe):
+            out = launch(r * m_pipe + i)
+        np.asarray(out)
+        times.append((time.perf_counter() - t0) / m_pipe)
+    return min(times)
+
+
 def bench_completion():
     from dposer_tpu.tasks import DPoserComp
 
@@ -60,14 +77,9 @@ def bench_completion():
     mask = jnp.zeros((10, DIM)).at[:, 39:45].set(1.0)  # ~right_arm-sized
     key = jax.random.PRNGKey(2)
     out = comp.optimize_hypos(key, obs, mask, 10)
-    out.block_until_ready()  # compile
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        out = comp.optimize_hypos(jax.random.fold_in(key, i), obs, mask, 10)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+    np.asarray(out)  # compile + force true completion
+    t = steady(lambda i: comp.optimize_hypos(
+        jax.random.fold_in(key, i), obs, mask, 10))
     # 200 Adam steps, all 10 hypos vmapped inside
     report("completion 10x10 (TPU, vmapped hypos)", t, 200,
            f"  [= {200 * 10 / t:8.1f} hypo-iters/s]")
@@ -169,14 +181,14 @@ def bench_motion_denoising(tmp):
     n_steps = kwargs["iterations"] * kwargs["steps_per_iter"]
     joints = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (60, 22, 3))
     md.optimize(jax.random.PRNGKey(4), joints, time_strategy="3", **kwargs)
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
+    np.asarray(md.last_poses)  # compile + force true completion
+
+    def launch(i):
         md.optimize(jax.random.fold_in(jax.random.PRNGKey(5), i), joints,
                     time_strategy="3", **kwargs)
-        jax.block_until_ready(md.last_poses)
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+        return md.last_poses
+
+    t = steady(launch)
     report(f"motion denoising 60f @0.04 ({n_steps} steps)", t, n_steps)
     return t
 
@@ -208,14 +220,8 @@ def bench_smplify(tmp):
     args = (jax.random.PRNGKey(6), init_pose, betas, cam_t, center,
             jnp.asarray(kpts))
     out = fitter(*args)
-    jax.block_until_ready(out[0])  # compile both stages
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        out = fitter(*args)
-        jax.block_until_ready(out[0])
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+    np.asarray(out[0])  # compile both stages + force true completion
+    t = steady(lambda i: fitter(*args)[0])
     report("demo_fit SMPLify (100 + 5x100 iters)", t, 600)
     return t
 
@@ -240,15 +246,10 @@ def bench_motion_denoising_batched(tmp, F=8):
     joints = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (F, 60, 22, 3))
     keys = jax.random.split(jax.random.PRNGKey(4), F)
     out = md.optimize_batch(keys, joints, time_strategy="3", **kwargs)
-    out.block_until_ready()
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        out = md.optimize_batch(jax.random.split(jax.random.PRNGKey(5 + i), F),
-                                joints, time_strategy="3", **kwargs)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+    np.asarray(out)
+    t = steady(lambda i: md.optimize_batch(
+        jax.random.split(jax.random.PRNGKey(5 + i), F), joints,
+        time_strategy="3", **kwargs))
     report(f"motion denoising, {F} fragments vmapped", t, n_steps,
            f"  [= {t / F * 1e3:6.1f} ms/fragment]")
     return t
@@ -283,14 +284,8 @@ def bench_smplify_batched(tmp, B=8):
 
     args_ = (jax.random.PRNGKey(6), init_pose, betas, cam_t, center, kpts)
     out = fitter(*args_)
-    jax.block_until_ready(out[0])
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        out = fitter(*args_)
-        jax.block_until_ready(out[0])
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+    np.asarray(out[0])
+    t = steady(lambda i: fitter(*args_)[0])
     report(f"SMPLify, {B} images batched", t, 600,
            f"  [= {t / B * 1e3:6.1f} ms/image]")
     return t

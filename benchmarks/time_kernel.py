@@ -27,18 +27,22 @@ def build():
     return model, params, SubVPSDE(N=N)
 
 
-def timeit(name, sampler, batch, **callkw):
+def timeit(name, sampler, batch, m_pipe=8, **callkw):
+    """Steady-state timing: enqueue m_pipe runs, force completion of the
+    last with a D2H read (ordered device execution bounds all of them) —
+    a single timed call on this tunneled host includes ~25 ms of fixed RPC
+    dispatch latency (see PERFORMANCE.md)."""
     t0 = time.perf_counter()
     _, x = sampler(jax.random.PRNGKey(1), **callkw)
-    x.block_until_ready()
-    compile_s = time.perf_counter() - t0
     assert np.isfinite(np.asarray(x)).all(), f"{name}: non-finite output"
+    compile_s = time.perf_counter() - t0
     times = []
-    for i in range(4):
+    for r in range(3):
         t0 = time.perf_counter()
-        _, x = sampler(jax.random.PRNGKey(2 + i), **callkw)
-        x.block_until_ready()
-        times.append(time.perf_counter() - t0)
+        outs = [sampler(jax.random.PRNGKey(2 + r * m_pipe + i), **callkw)[1]
+                for i in range(m_pipe)]
+        np.asarray(outs[-1])
+        times.append((time.perf_counter() - t0) / m_pipe)
     ms = min(times) * 1e3
     print(f"{name:38s} {ms:8.2f} ms/{N}steps  ({batch / min(times):7.0f} poses/s)"
           f"  [compile {compile_s:.0f}s]  out_std={np.asarray(x).std():.3f}",

@@ -34,8 +34,11 @@ def xla_reference(sde, model, params, x0, noise, eps, denoise=True):
     return x_mean if denoise else x
 
 
+@pytest.mark.parametrize("gn", ["vpu", "mm"])
 @pytest.mark.parametrize("scale_by_sigma", [False, True])
-def test_kernel_matches_xla_reference(scale_by_sigma):
+def test_kernel_matches_xla_reference(scale_by_sigma, gn):
+    """Both GN paths: lane-strided VPU (hidden % 128 == 0, the default) and
+    the group-matmul fallback."""
     model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
                          n_blocks=2, dropout=0.0, scale_by_sigma=scale_by_sigma)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 63)),
@@ -48,13 +51,35 @@ def test_kernel_matches_xla_reference(scale_by_sigma):
 
     ref = np.asarray(xla_reference(sde, model, params, x0, noise, eps=1e-3))
     sampler = get_pallas_em_sampler(sde, model, params, shape, eps=1e-3,
-                                    interpret=True)
+                                    interpret=True, gn=gn)
     _, out = sampler(jax.random.PRNGKey(9), z=x0, noise=noise)
     out = np.asarray(out)
     scale = max(1.0, np.abs(ref).max())
     # kernel uses bf16 matmuls; fp32 interpret-mode still reassociates GN math
     np.testing.assert_allclose(out, ref, atol=2e-2 * scale,
-                               err_msg=f"scale_by_sigma={scale_by_sigma}")
+                               err_msg=f"scale_by_sigma={scale_by_sigma} gn={gn}")
+
+
+def test_kernel_gn_fallback_unaligned_hidden():
+    """hidden % 128 != 0 selects the matmul-GN path automatically and still
+    matches the XLA reference."""
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=192, embed_dim=64,
+                         n_blocks=1, dropout=0.0, scale_by_sigma=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 63)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.SubVPSDE(N=10)
+    shape = (4, 63)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (10,) + shape)
+    ref = np.asarray(xla_reference(sde, model, params, x0, noise, eps=1e-3))
+    sampler = get_pallas_em_sampler(sde, model, params, shape, eps=1e-3,
+                                    interpret=True)
+    _, out = sampler(jax.random.PRNGKey(9), z=x0, noise=noise)
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2 * scale)
+    with pytest.raises(ValueError):
+        get_pallas_em_sampler(sde, model, params, shape, interpret=True,
+                              gn="vpu")
 
 
 def test_kernel_prior_sampling_runs():
