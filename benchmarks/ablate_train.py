@@ -46,12 +46,16 @@ def build(dropout=0.1):
     return state, tx, loss_fn
 
 
-def make_variant(tx, loss_fn, mode):
-    """mode: full | no_ema | no_clip_ema | sgd | grad_only | loss_only."""
+def make_variant(tx, loss_fn, mode, state):
+    """mode: full | no_ema | no_clip_ema | sgd | grad_only | loss_only.
+    Returns (fn, state) — state's opt_state is re-initialized when the
+    variant swaps the optimizer chain."""
     if mode == "no_clip_ema":
         tx = optax.adam(2e-4, b1=0.9, eps=1e-8)
+        state = state.replace(opt_state=tx.init(state.params))
     if mode == "sgd":
         tx = optax.sgd(1e-5)
+        state = state.replace(opt_state=tx.init(state.params))
 
     def step_fn(state, key, batch):
         if mode == "loss_only":
@@ -69,7 +73,7 @@ def make_variant(tx, loss_fn, mode):
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state, ema=ema), {"step_loss": loss}
 
-    return losses_lib.multi_step(step_fn)
+    return jax.jit(losses_lib.multi_step(step_fn)), state
 
 
 def timeit(name, fn, state, batches):
@@ -95,16 +99,18 @@ def main():
     state, tx, loss_fn = build(dropout=0.1)
     for mode in ("full", "no_ema", "no_clip_ema", "sgd", "grad_only",
                  "loss_only"):
-        timeit(mode, make_variant(tx, loss_fn, mode), state, batches)
+        fn, st = make_variant(tx, loss_fn, mode, state)
+        timeit(mode, fn, st, batches)
 
     state0, tx0, loss0 = build(dropout=0.0)
-    timeit("full, dropout=0", make_variant(tx0, loss0, "full"), state0, batches)
+    fn, st = make_variant(tx0, loss0, "full", state0)
+    timeit("full, dropout=0", fn, st, batches)
 
     # batch scaling: is the step compute- or overhead-bound?
     for b in (2560, 5120):
         bb = jax.random.normal(jax.random.PRNGKey(3), (K, b, DIM))
-        t = timeit(f"full, batch {b}", make_variant(tx, loss_fn, "full"),
-                   state, bb)
+        fn, st = make_variant(tx, loss_fn, "full", state)
+        t = timeit(f"full, batch {b}", fn, st, bb)
         print(f"    -> {b / t / 1e3:8.0f}k poses/s", flush=True)
 
 

@@ -1,17 +1,18 @@
 """The entire reverse-diffusion loop as ONE Pallas TPU kernel.
 
-Motivation (measured on TPU v5e via this host): each XLA scan step carries
-~25-30us of fixed dispatch overhead while the actual per-step compute of the
-DPoser score MLP is ~30us — the 1000-step sampler is half launch overhead.
-This kernel runs the full loop inside a single program:
+Motivation (measured on TPU v5e, steady-state — see PERFORMANCE.md): the
+XLA ``lax.scan`` sampler spends ~106 us/step because every step re-streams
+the ~8 MB of weights from HBM and runs fp32 matmuls (~3x bf16 cost). This
+kernel runs the full loop inside a single program at ~36 us/step:
 
 - all network weights live in VMEM for the whole kernel (bf16: ~8.3 MB for
-  the flagship 1024-wide model)
+  the flagship 1024-wide model), cast once at build time
 - per-step time-projection rows (precomputed bias+temb contributions) and
   pregenerated Gaussian noise stream from HBM with double-buffered DMA
   (or are drawn on-core with the TPU PRNG in ``rng_mode="kernel"``)
-- GroupNorm uses group-indicator matmuls (h @ G) instead of reshapes so all
-  intermediates stay in MXU/VPU-friendly [B, H] layout
+- GroupNorm needs zero matmuls: the hidden dim is pre-permuted so groups
+  are lane-strided and group stats collapse to VPU tile sums + lane rolls
+  (``group_norm_vpu``; group-indicator matmul fallback for hidden % 128)
 - the EM update collapses to 3 scalars per step: x <- cx*x + cout*out + cn*z
   (cout folds the 1/sigma(t) output scaling)
 
