@@ -66,17 +66,11 @@ def measure_tpu() -> float:
         x.block_until_ready()
     np.asarray(x)  # force true completion before timing (tunnel queues async)
 
-    # steady-state throughput: enqueue M runs, force completion of the last
-    # (ordered device execution bounds all M); best of 3 rounds
-    n_pipe = 8 if on_tpu else 1
-    times = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        outs = [sampler(jax.random.PRNGKey(2 + r * n_pipe + i))[1]
-                for i in range(n_pipe)]
-        np.asarray(outs[-1])
-        times.append((time.perf_counter() - t0) / n_pipe)
-    return N_SAMPLES / min(times)
+    from dposer_tpu.utils.benchtime import steady_state
+
+    t = steady_state(lambda i: sampler(jax.random.PRNGKey(2 + i))[1],
+                     m_pipe=8 if on_tpu else 1)
+    return N_SAMPLES / t
 
 
 def measure_torch_cpu_baseline(probe_steps: int = 20) -> float:

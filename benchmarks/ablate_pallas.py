@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dposer_tpu.diffusion.sde import SubVPSDE
+from dposer_tpu.utils.benchtime import steady_state
 from dposer_tpu.models import ScoreModelFC
 from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
 
@@ -43,15 +44,9 @@ def time_variant(name, model, params, sde, **kw):
     _, x = sampler(jax.random.PRNGKey(1))
     np.asarray(x)  # force true completion before timing
     compile_s = time.perf_counter() - t0
-    times = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        outs = [sampler(jax.random.PRNGKey(2 + r * M_PIPE + i))[1]
-                for i in range(M_PIPE)]
-        np.asarray(outs[-1])
-        times.append((time.perf_counter() - t0) / M_PIPE)
-    ms = min(times) * 1e3
-    print(f"{name:34s} {ms:8.2f} ms/1000steps  ({BATCH / min(times):7.0f} poses/s)"
+    ms = steady_state(lambda i: sampler(jax.random.PRNGKey(2 + i))[1],
+                      m_pipe=M_PIPE) * 1e3
+    print(f"{name:34s} {ms:8.2f} ms/1000steps  ({BATCH / ms * 1e3:7.0f} poses/s)"
           f"  [compile {compile_s:.0f}s]", flush=True)
     return ms
 

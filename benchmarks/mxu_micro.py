@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from dposer_tpu.utils.benchtime import steady_state  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu
 
 B, H, N_STEPS, CHAIN = 512, 1024, 1000, 6
@@ -73,15 +76,7 @@ def main():
         run = build(acc)
         x = run(x0, ws)
         np.asarray(x)  # compile + force true completion
-        M = 8
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _i in range(M):
-                x = run(x0, ws)
-            np.asarray(x)
-            times.append((time.perf_counter() - t0) / M)
-        t = min(times)
+        t = steady_state(lambda i: run(x0, ws))
         us_per_mm = t / N_STEPS / CHAIN * 1e6
         print(f"acc={acc.__name__:9s} {t * 1e3:7.2f} ms  {us_per_mm:5.2f} us/matmul  "
               f"{flops / t / 1e12:6.1f} TFLOP/s  checksum={float(abs(x).sum()):.3e}",

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from dposer_tpu.diffusion.score_fn import get_score_fn
 from dposer_tpu.diffusion.sde import SubVPSDE
 from dposer_tpu.models import ScoreModelFC
+from dposer_tpu.utils.benchtime import steady_state
 
 DIM = 63
 
@@ -50,21 +51,8 @@ def report(name, seconds, n_iters, extra=""):
           f"({n_iters / seconds:8.1f} iters/s){extra}", flush=True)
 
 
-def steady(launch, m_pipe=4, rounds=3):
-    """Steady-state seconds/task: enqueue m_pipe tasks back-to-back, force
-    completion of the last with a D2H read (device execution is ordered, so
-    it bounds all of them). A single timed call on this tunneled host
-    includes ~25 ms of fixed RPC dispatch latency (see PERFORMANCE.md);
-    `launch(i)` must return a device array from dispatch i."""
-    times = []
-    for r in range(rounds):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(m_pipe):
-            out = launch(r * m_pipe + i)
-        np.asarray(out)
-        times.append((time.perf_counter() - t0) / m_pipe)
-    return min(times)
+def steady(launch):
+    return steady_state(launch, m_pipe=4)
 
 
 def bench_completion():

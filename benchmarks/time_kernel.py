@@ -15,6 +15,7 @@ import numpy as np
 from dposer_tpu.diffusion.sde import SubVPSDE
 from dposer_tpu.models import ScoreModelFC
 from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
+from dposer_tpu.utils.benchtime import steady_state
 
 DIM, N = 63, 1000
 
@@ -36,15 +37,9 @@ def timeit(name, sampler, batch, m_pipe=8, **callkw):
     _, x = sampler(jax.random.PRNGKey(1), **callkw)
     assert np.isfinite(np.asarray(x)).all(), f"{name}: non-finite output"
     compile_s = time.perf_counter() - t0
-    times = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        outs = [sampler(jax.random.PRNGKey(2 + r * m_pipe + i), **callkw)[1]
-                for i in range(m_pipe)]
-        np.asarray(outs[-1])
-        times.append((time.perf_counter() - t0) / m_pipe)
-    ms = min(times) * 1e3
-    print(f"{name:38s} {ms:8.2f} ms/{N}steps  ({batch / min(times):7.0f} poses/s)"
+    t = steady_state(lambda i: sampler(jax.random.PRNGKey(2 + i), **callkw)[1],
+                     m_pipe=m_pipe)
+    print(f"{name:38s} {t * 1e3:8.2f} ms/{N}steps  ({batch / t:7.0f} poses/s)"
           f"  [compile {compile_s:.0f}s]  out_std={np.asarray(x).std():.3f}",
           flush=True)
 

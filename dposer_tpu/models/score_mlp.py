@@ -17,6 +17,8 @@ recomputes it per row).
 from __future__ import annotations
 
 import math
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -141,12 +143,29 @@ class TimeMLPs(nn.Module):
         return nn.Dense(self.n_poses * self.pose_dim, name="dense_out")(h)
 
 
-def make_model_apply(model: nn.Module):
+def make_model_apply(model: nn.Module, dropout_rng_impl: str = "rbg"):
     """Standard raw-network apply closure for the loss/step builders:
-    ``model_apply(params, x, labels, key, train) -> out``."""
+    ``model_apply(params, x, labels, key, train) -> out``.
+
+    dropout_rng_impl: "rbg" (default) re-keys the dropout stream onto the
+    TPU-native XLA RngBitGenerator — threefry mask generation is ~23% of
+    the whole train step's device time at the flagship config (measured,
+    see PERFORMANCE.md); the bernoulli mask distribution is unchanged and
+    runs are still deterministic per key. "threefry" keeps the JAX default
+    (dropout streams then match earlier releases of this framework).
+    Under GSPMD the rbg mask bits may depend on the sharding layout (XLA
+    RngBitGenerator semantics) — fine for training; the sharded ==
+    single-device equality contract covers the dropout-free numerics
+    (tests/test_parallel.py).
+    """
+    assert dropout_rng_impl in ("rbg", "threefry")
+    use_rbg = dropout_rng_impl == "rbg"
 
     def model_apply(params, x, labels, key=None, train=False):
         if train:
+            if use_rbg:
+                key = jax.random.wrap_key_data(
+                    jax.random.bits(key, (4,), jnp.uint32), impl="rbg")
             return model.apply({"params": params}, x, labels, train=True,
                                rngs={"dropout": key})
         return model.apply({"params": params}, x, labels)

@@ -418,7 +418,8 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     # permutation is applied consistently to every producer (dense columns,
     # temb rows, GN affine) and consumer (dense rows) of the hidden axis, so
     # the network function is unchanged.
-    assert gn in ("auto", "vpu", "mm")
+    if gn not in ("auto", "vpu", "mm"):
+        raise ValueError(f"gn must be 'auto', 'vpu' or 'mm', got {gn!r}")
     gn_vpu = hidden % 128 == 0 if gn == "auto" else gn == "vpu"
     if gn_vpu and hidden % 128:
         raise ValueError("gn='vpu' needs hidden % 128 == 0")

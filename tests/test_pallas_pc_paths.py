@@ -91,6 +91,44 @@ def test_pallas_kernel_matches_fast_pc(setup, corrector, imputation):
     np.testing.assert_allclose(np.asarray(out), ref, atol=6e-2 * scale)
 
 
+@pytest.mark.parametrize("tag,corrector,imputation", [
+    ("langevin", "langevin", False), ("imputation", "none", True),
+    ("langevin_imputation", "langevin", True)])
+def test_pallas_corrector_imputation_golden(tag, corrector, imputation):
+    """Golden-file regression pin for the corrector/imputation kernel paths.
+
+    Twin comparisons against the XLA sampler are inherently loose here
+    (untrained-model trajectories amplify rounding differences chaotically,
+    see the tolerance note above), so exact wiring regressions are pinned
+    the golden-file way instead: a tame (no sigma-scaling) model, fixed
+    injected noise, committed outputs. Regenerate deliberately via
+    tests/golden/README.
+    """
+    import os
+
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+                         n_blocks=2, dropout=0.0, scale_by_sigma=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, DIM)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.SubVPSDE(N=N)
+    obs = 0.4 * jax.random.normal(jax.random.PRNGKey(3), (BATCH, DIM))
+    mask = jnp.zeros((BATCH, DIM)).at[:, 10:30].set(1.0)
+    z0 = jax.random.normal(jax.random.PRNGKey(9), (BATCH, DIM))
+    S = 1 if corrector == "langevin" else 0
+    K = S + (2 if imputation else 0) + 1
+    noise = jax.random.normal(jax.random.PRNGKey(10), (N, K, BATCH, DIM))
+    kw = dict(observation=obs, mask=mask) if imputation else {}
+
+    kern = get_pallas_em_sampler(sde, model, params, (BATCH, DIM), eps=1e-3,
+                                 denoise=True, corrector=corrector, snr=0.16,
+                                 imputation=imputation, interpret=True)
+    _, out = kern(jax.random.PRNGKey(0), z=z0, noise=noise, **kw)
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                  "pallas_pc_cpu.npz"))[tag]
+    scale = max(1.0, float(np.abs(golden).max()))
+    np.testing.assert_allclose(np.asarray(out), golden, atol=5e-3 * scale)
+
+
 def test_pallas_corrector_blocking_row_masks(setup):
     """Batch < padded block: the corrector's batch-mean norms must ignore the
     padded rows (their network output is nonzero)."""
