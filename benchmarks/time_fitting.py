@@ -60,17 +60,24 @@ def bench_completion():
 
     model, params = flagship()
     sde = SubVPSDE(N=1000)
-    comp = DPoserComp(sde, score_fn_for(model, params, sde))
     obs = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (10, DIM))
     mask = jnp.zeros((10, DIM)).at[:, 39:45].set(1.0)  # ~right_arm-sized
     key = jax.random.PRNGKey(2)
-    out = comp.optimize_hypos(key, obs, mask, 10)
-    np.asarray(out)  # compile + force true completion
-    t = steady(lambda i: comp.optimize_hypos(
-        jax.random.fold_in(key, i), obs, mask, 10))
-    # 200 Adam steps, all 10 hypos vmapped inside
-    report("completion 10x10 (TPU, vmapped hypos)", t, 200,
-           f"  [= {200 * 10 / t:8.1f} hypo-iters/s]")
+    variants = [("XLA, vmapped hypos", DPoserComp(
+        sde, score_fn_for(model, params, sde)))]
+    if jax.default_backend() == "tpu":
+        variants.append(("fused Pallas kernel", DPoserComp(
+            sde, score_fn_for(model, params, sde), backend="pallas",
+            model=model, params=params)))
+    t = None
+    for name, comp in variants:
+        out = comp.optimize_hypos(key, obs, mask, 10)
+        np.asarray(out)  # compile + force true completion
+        t = steady(lambda i: comp.optimize_hypos(
+            jax.random.fold_in(key, i), obs, mask, 10))
+        # 200 Adam steps, all 10 hypos vmapped/row-flattened inside
+        report(f"completion 10x10 ({name})", t, 200,
+               f"  [= {200 * 10 / t:8.1f} hypo-iters/s]")
     return t
 
 

@@ -37,50 +37,19 @@ shard; PRNG decorrelated by ``axis_index``).
 """
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...diffusion.fast_sampler import (_corrector_tables, _em_tables,
-                                       _imputation_tables, _labels_for,
-                                       precompute_time_tables)
+                                       _imputation_tables, _labels_for)
 from ...diffusion.sde import SDE
 from ...models.score_mlp import ScoreModelFC
-
-NUM_GROUPS = 32
-GN_EPS = 1e-5
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _silu(x):
-    return x * jax.nn.sigmoid(x)
-
-
-def _box_muller(shape):
-    """Standard normals from the on-core PRNG (Box-Muller, cos branch)."""
-    scale = 1.0 / 16777216.0  # 2^-24
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
-    shift = jnp.uint32(8)
-
-    def to_unit(bits):
-        # >>8 clears the sign bit, so the int32 reinterpretation is exact
-        # (Mosaic has no uint32->f32 cast)
-        top24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), shift)
-        return pltpu.bitcast(top24, jnp.int32).astype(jnp.float32) * scale
-
-    u1 = to_unit(b1)
-    u2 = to_unit(b2)
-    u1 = jnp.maximum(u1, 1e-12)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
+from .score_net import (bind_fwd, box_muller as _box_muller,
+                        build_network_operands, round_up as _round_up)
 
 
 def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
@@ -108,65 +77,6 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
     n_tp = 1 + 2 * n_blocks
     K = n_corr + (2 if imputation else 0) + 1  # noise slabs per step
 
-    def group_norm_vpu(h, scale_row, bias_row):
-        """GN with zero matmuls: the build pre-permutes the hidden dim so
-        feature p belongs to group ``p % 32`` (lane-strided groups). Group
-        sums then collapse to per-lane-tile VPU adds followed by two lane
-        rolls (lane l accumulates lanes {l, l+32, l+64, l+96}), leaving the
-        group stats replicated in exactly the lanes that need them — no
-        broadcast matmul either. Stats run one-pass in fp32 off the fp32
-        matmul accumulators, which is *more* accurate than the bf16
-        two-pass matmul path it replaces (bf16 rounds h to 8 bits first).
-        """
-        if "gn" in ablate:  # measurement-only ablation
-            return h
-        n_t = hidden // 128
-        inv_gs = 1.0 / (hidden // NUM_GROUPS)
-        s1 = h[:, 0:128]
-        s2 = s1 * s1
-        for kk in range(1, n_t):
-            t = h[:, 128 * kk:128 * (kk + 1)]
-            s1 = s1 + t
-            s2 = s2 + t * t
-        s1 = s1 + pltpu.roll(s1, 32, 1)
-        s1 = s1 + pltpu.roll(s1, 64, 1)
-        s2 = s2 + pltpu.roll(s2, 32, 1)
-        s2 = s2 + pltpu.roll(s2, 64, 1)
-        mu = s1 * inv_gs
-        var = s2 * inv_gs - mu * mu
-        a = jax.lax.rsqrt(jnp.maximum(var, 0.0) + GN_EPS)
-        if n_t > 1:  # tile the per-group stats back to full width
-            mu = jnp.concatenate([mu] * n_t, axis=1)
-            a = jnp.concatenate([a] * n_t, axis=1)
-        return (h - mu) * (a * scale_row) + bias_row
-
-    def group_norm(h, G, Gt, Gts_j, bias_row):
-        """GN(h)*scale + bias as ``(h - mean)*af + bias``.
-
-        All four group matmuls run with bf16 operands (fp32 accumulation) —
-        an fp32 MXU matmul costs ~3 bf16 passes, and GN was ~28% of the
-        kernel (measured by ablation). ``G`` carries the 1/group_size
-        factor, so ``dot(h, G)`` IS the group mean. The variance uses the
-        two-pass *centered* form: the one-pass E[h^2]-E[h]^2 cancels
-        catastrophically in bf16 (can go negative -> NaN). ``Gts_j`` is the
-        transposed indicator with the GN scale folded in, so the broadcast
-        needs no separate scale multiply.
-        """
-        if "gn" in ablate:  # measurement-only ablation
-            return h
-        hb = h.astype(jnp.bfloat16)
-        mean = jnp.dot(hb, G, preferred_element_type=jnp.float32)
-        mean_f = jnp.dot(mean.astype(jnp.bfloat16), Gt,
-                         preferred_element_type=jnp.float32)
-        hc = h - mean_f
-        var = jnp.dot((hc * hc).astype(jnp.bfloat16), G,
-                      preferred_element_type=jnp.float32)
-        a = jax.lax.rsqrt(var + GN_EPS)                     # [B, NG] rstd
-        af = jnp.dot(a.astype(jnp.bfloat16), Gts_j,
-                     preferred_element_type=jnp.float32)
-        return hc * af + bias_row
-
-    act = (lambda v: v) if "silu" in ablate else _silu
 
     def kernel(coefs, *rest):
         if kernel_rng:
@@ -183,13 +93,9 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
         rest = rest[1 + 2 * n_blocks:]
         Wpost, bpost = rest[:2]
         rest = rest[2:]
-        if gn_vpu:
-            gn_scale, gn_bias = rest[:2]
-            rest = rest[2:]
-            Gts = G = Gt = None
-        else:
-            Gts, gn_bias, G, Gt = rest[:4]
-            rest = rest[4:]
+        n_gn = 2 if gn_vpu else 4
+        gn_refs = rest[:n_gn]
+        rest = rest[n_gn:]
         if kernel_rng:
             (tp_hbm, out_ref, x_st, tp_buf, sem_tp) = rest
             noise_hbm = nz_buf = sem_nz = None
@@ -197,12 +103,8 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
             (tp_hbm, noise_hbm, out_ref, x_st, tp_buf, nz_buf,
              sem_tp, sem_nz) = rest
 
-        def gnorm(h, j):
-            if gn_vpu:
-                return group_norm_vpu(h, gn_scale[j, :][None, :],
-                                      gn_bias[j, :][None, :])
-            return group_norm(h, G[:], Gt[:], Gts[j],
-                              gn_bias[j, :][None, :])
+        fwd = bind_fwd(n_blocks, hidden, gn_vpu, ablate,
+                       Wpre, Ws, Wpost, bpost, gn_refs, tp_buf)
 
         i_blk = pl.program_id(0) if gridded else 0
         row0 = i_blk * batch_blk
@@ -236,32 +138,6 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
         tp_dma(0, 0).start()
         if not kernel_rng:
             nz_dma(0, 0).start()
-
-        def fwd(x, slot):
-            """Raw network output (Wpost + bias; sigma-scaling folded into
-            the per-step coefficient tables)."""
-            xb = x.astype(jnp.bfloat16)
-            h = jnp.dot(xb, Wpre[:], preferred_element_type=jnp.float32)
-            h = h + tp_buf[slot, 0, :][None, :]
-            h = gnorm(h, 0)
-            h = act(h)
-            for blk in range(n_blocks):
-                w1 = Ws[2 * blk]
-                w2 = Ws[2 * blk + 1]
-                h1 = jnp.dot(h.astype(jnp.bfloat16), w1[:],
-                             preferred_element_type=jnp.float32)
-                h1 = h1 + tp_buf[slot, 1 + 2 * blk, :][None, :]
-                h1 = gnorm(h1, 1 + 2 * blk)
-                h1 = act(h1)
-                h2 = jnp.dot(h1.astype(jnp.bfloat16), w2[:],
-                             preferred_element_type=jnp.float32)
-                h2 = h2 + tp_buf[slot, 2 + 2 * blk, :][None, :]
-                h2 = gnorm(h2, 2 + 2 * blk)
-                h2 = act(h2)
-                h = h + h2
-            res = jnp.dot(h.astype(jnp.bfloat16), Wpost[:],
-                          preferred_element_type=jnp.float32)
-            return res + bpost[:]
 
         def body(i, _):
             slot = i % 2
@@ -385,8 +261,6 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
             f"pallas fused sampler needs ~{est / 2**20:.0f} MiB VMEM for "
             f"batch_block {batch_block} / hidden {h} (budget "
             f"{_VMEM_BUDGET / 2**20:.0f} MiB); reduce batch_block")
-    if model.embedding_type != "positional":
-        raise NotImplementedError("pallas sampler supports positional embeddings")
     batch, dim = shape
     hidden = model.hidden_dim
     n_blocks = model.n_blocks
@@ -401,83 +275,18 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     timesteps = sde.timesteps(eps)
     labels = _labels_for(sde, timesteps)
     cx, cout, cnoise = _em_tables(sde, timesteps)
-    tprojs, out_scale = precompute_time_tables(model, params, labels)
+    net = build_network_operands(model, params, dim, dim_p, labels, gn=gn)
+    out_scale = net["out_scale"]
     score_scale, alpha = _corrector_tables(sde, timesteps, out_scale)
     imput_mc, imput_std = _imputation_tables(sde, timesteps)
     if out_scale is not None:
         cout = cout * out_scale
     coefs = jnp.stack([cx, cout, cnoise, score_scale, alpha, imput_mc,
                        imput_std, jnp.zeros_like(cx)], axis=1).astype(jnp.float32)
+    Wpre, Ws, Wpost, bpost = net["Wpre"], net["Ws"], net["Wpost"], net["bpost"]
+    gn_args, gn_vpu, tp_all = net["gn_args"], net["gn_vpu"], net["tp_all"]
+    n_tp_pad = net["n_tp_pad"]
 
-    # --- weights, bf16, padded ----------------------------------------------
-    def bf16(a):
-        return jnp.asarray(a, jnp.bfloat16)
-
-    # lane-strided GN: permute the hidden dim so feature p lands in group
-    # p % NUM_GROUPS — GN then needs zero matmuls (see group_norm_vpu). The
-    # permutation is applied consistently to every producer (dense columns,
-    # temb rows, GN affine) and consumer (dense rows) of the hidden axis, so
-    # the network function is unchanged.
-    if gn not in ("auto", "vpu", "mm"):
-        raise ValueError(f"gn must be 'auto', 'vpu' or 'mm', got {gn!r}")
-    gn_vpu = hidden % 128 == 0 if gn == "auto" else gn == "vpu"
-    if gn_vpu and hidden % 128:
-        raise ValueError("gn='vpu' needs hidden % 128 == 0")
-    if gn_vpu:
-        gs = hidden // NUM_GROUPS
-        p = np.arange(hidden)
-        k_t, lane = p // 128, p % 128
-        perm = gs * (lane % NUM_GROUPS) + (4 * k_t + lane // NUM_GROUPS)
-        assert np.array_equal(np.sort(perm), np.arange(hidden))
-    else:
-        perm = np.arange(hidden)
-
-    Wpre = jnp.zeros((dim_p, hidden), jnp.bfloat16).at[:dim].set(
-        bf16(np.asarray(params["pre_dense"]["kernel"])[:, perm]))
-    Ws = []
-    tp_rows = [(tprojs["pre_dense_t"]
-                + params["pre_dense"]["bias"][None, :])[:, perm]]
-    gn_names = ["pre_gnorm"]
-    for blk in range(n_blocks):
-        Ws.append(bf16(np.asarray(
-            params[f"b{blk + 1}_dense1"]["kernel"])[perm][:, perm]))
-        Ws.append(bf16(np.asarray(
-            params[f"b{blk + 1}_dense2"]["kernel"])[perm][:, perm]))
-        tp_rows.append((tprojs[f"b{blk + 1}_dense1_t"]
-                        + params[f"b{blk + 1}_dense1"]["bias"][None, :])[:, perm])
-        tp_rows.append((tprojs[f"b{blk + 1}_dense2_t"]
-                        + params[f"b{blk + 1}_dense2"]["bias"][None, :])[:, perm])
-        gn_names.extend([f"b{blk + 1}_gnorm1", f"b{blk + 1}_gnorm2"])
-    Wpost = jnp.zeros((hidden, dim_p), jnp.bfloat16).at[:, :dim].set(
-        bf16(np.asarray(params["post_dense"]["kernel"])[perm, :]))
-    bpost = jnp.zeros((1, dim_p), jnp.float32).at[0, :dim].set(
-        jnp.asarray(params["post_dense"]["bias"], jnp.float32))
-
-    # pad the per-step row count to the 8-sublane tile (Mosaic slice alignment)
-    n_tp_pad = _round_up(1 + 2 * n_blocks, 8)
-    tp_all = jnp.stack([r.astype(jnp.float32) for r in tp_rows], axis=1)  # [N, n_tp, H]
-    tp_all = jnp.pad(tp_all, ((0, 0), (0, n_tp_pad - tp_all.shape[1]), (0, 0)))
-    gn_bias = jnp.stack([jnp.asarray(
-        np.asarray(params[n]["bias"], np.float32)[perm]) for n in gn_names])
-
-    if gn_vpu:
-        gn_scale = jnp.stack([jnp.asarray(
-            np.asarray(params[n]["scale"], np.float32)[perm]) for n in gn_names])
-        gn_args = (gn_scale, gn_bias)
-    else:
-        # group-indicator matrix [H, NG], carrying 1/group_size so dot(h, G)
-        # is the group mean directly (1/32 is exact in bf16)
-        group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
-        indicator = np.eye(NUM_GROUPS, dtype=np.float32)[group_ids]  # [H, NG]
-        G = jnp.asarray(indicator / (hidden // NUM_GROUPS), jnp.bfloat16)
-        # transposed indicator with each GN's scale folded in: [n_tp, NG, H]
-        Gts = jnp.stack([
-            jnp.asarray(indicator.T * np.asarray(params[n]["scale"], np.float32)[None, :],
-                        jnp.bfloat16) for n in gn_names])
-        Gt = jnp.asarray(indicator.T, jnp.bfloat16)  # plain broadcast [NG, H]
-        gn_args = (Gts, gn_bias, G, Gt)
-
-    kernel_rng = rng_mode == "kernel"
     kernel = _make_kernel(n_steps, n_blocks, batch, batch_blk, dim, dim_p,
                           hidden, denoise, kernel_rng, n_corr, imputation,
                           snr, gridded=n_blk > 1, gn_vpu=gn_vpu,

@@ -1,0 +1,247 @@
+"""Shared ScoreModelFC machinery for the fused Pallas kernels.
+
+Both single-program kernels (the reverse-diffusion sampler in
+``fused_em.py`` and the completion optimizer in ``fused_comp.py``) run the
+same network body — pre-Dense + per-block twin Dense/GroupNorm/SiLU with
+residual skips (ref lib/algorithms/advanced/model.py:141-196) — with
+weights VMEM-resident in bf16 and the per-step time-projection rows
+DMA-streamed from HBM. This module holds the two shared halves:
+
+- ``build_network_operands``: host-side build — bf16 weight padding, the
+  lane-strided GroupNorm permutation (see ``bind_fwd``), the scale/bias
+  tables, and the per-step time-projection rows for a given label table.
+- ``bind_fwd``: kernel-side — binds unpacked refs into ``fwd(x, slot)``
+  plus the GroupNorm implementations.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from ...diffusion.fast_sampler import precompute_time_tables
+
+NUM_GROUPS = 32
+GN_EPS = 1e-5
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def box_muller(shape):
+    """Standard normals from the on-core PRNG (Box-Muller, cos branch)."""
+    scale = 1.0 / 16777216.0  # 2^-24
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    shift = jnp.uint32(8)
+
+    def to_unit(bits):
+        # >>8 clears the sign bit, so the int32 reinterpretation is exact
+        # (Mosaic has no uint32->f32 cast)
+        top24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), shift)
+        return pltpu.bitcast(top24, jnp.int32).astype(jnp.float32) * scale
+
+    u1 = to_unit(b1)
+    u2 = to_unit(b2)
+    u1 = jnp.maximum(u1, 1e-12)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
+
+
+def build_network_operands(model, params, dim: int, dim_p: int, labels,
+                           gn: str = "auto"):
+    """Host-side kernel-operand prep for a ScoreModelFC.
+
+    Returns a dict with: ``Wpre, Ws, Wpost, bpost`` (bf16, padded),
+    ``gn_args`` (2 arrays in vpu mode / 4 in mm mode), ``gn_vpu``,
+    ``tp_all`` ([len(labels), n_tp_pad, H] fp32 — per-step dense bias +
+    time-embedding projections, already permuted), ``out_scale``
+    ([len(labels)] or None — the model's 1/sigma output scaling to fold
+    into downstream coefficient tables), ``n_tp_pad``.
+    """
+    if gn not in ("auto", "vpu", "mm"):
+        raise ValueError(f"gn must be 'auto', 'vpu' or 'mm', got {gn!r}")
+    hidden = model.hidden_dim
+    n_blocks = model.n_blocks
+    if model.embedding_type != "positional":
+        raise NotImplementedError("fused kernels support positional embeddings")
+    gn_vpu = hidden % 128 == 0 if gn == "auto" else gn == "vpu"
+    if gn_vpu and hidden % 128:
+        raise ValueError("gn='vpu' needs hidden % 128 == 0")
+
+    # lane-strided GN: permute the hidden dim so feature p lands in group
+    # p % NUM_GROUPS — GN then needs zero matmuls (see bind_fwd). The
+    # permutation is applied consistently to every producer (dense columns,
+    # temb rows, GN affine) and consumer (dense rows) of the hidden axis, so
+    # the network function is unchanged.
+    if gn_vpu:
+        gs = hidden // NUM_GROUPS
+        p = np.arange(hidden)
+        k_t, lane = p // 128, p % 128
+        perm = gs * (lane % NUM_GROUPS) + (4 * k_t + lane // NUM_GROUPS)
+        assert np.array_equal(np.sort(perm), np.arange(hidden))
+    else:
+        perm = np.arange(hidden)
+
+    tprojs, out_scale = precompute_time_tables(model, params, labels)
+
+    def bf16(a):
+        return jnp.asarray(a, jnp.bfloat16)
+
+    Wpre = jnp.zeros((dim_p, hidden), jnp.bfloat16).at[:dim].set(
+        bf16(np.asarray(params["pre_dense"]["kernel"])[:, perm]))
+    Ws = []
+    tp_rows = [(tprojs["pre_dense_t"]
+                + params["pre_dense"]["bias"][None, :])[:, perm]]
+    gn_names = ["pre_gnorm"]
+    for blk in range(n_blocks):
+        Ws.append(bf16(np.asarray(
+            params[f"b{blk + 1}_dense1"]["kernel"])[perm][:, perm]))
+        Ws.append(bf16(np.asarray(
+            params[f"b{blk + 1}_dense2"]["kernel"])[perm][:, perm]))
+        tp_rows.append((tprojs[f"b{blk + 1}_dense1_t"]
+                        + params[f"b{blk + 1}_dense1"]["bias"][None, :])[:, perm])
+        tp_rows.append((tprojs[f"b{blk + 1}_dense2_t"]
+                        + params[f"b{blk + 1}_dense2"]["bias"][None, :])[:, perm])
+        gn_names.extend([f"b{blk + 1}_gnorm1", f"b{blk + 1}_gnorm2"])
+    Wpost = jnp.zeros((hidden, dim_p), jnp.bfloat16).at[:, :dim].set(
+        bf16(np.asarray(params["post_dense"]["kernel"])[perm, :]))
+    bpost = jnp.zeros((1, dim_p), jnp.float32).at[0, :dim].set(
+        jnp.asarray(params["post_dense"]["bias"], jnp.float32))
+
+    # pad the per-step row count to the 8-sublane tile (Mosaic slice alignment)
+    n_tp_pad = round_up(1 + 2 * n_blocks, 8)
+    tp_all = jnp.stack([r.astype(jnp.float32) for r in tp_rows], axis=1)
+    tp_all = jnp.pad(tp_all, ((0, 0), (0, n_tp_pad - tp_all.shape[1]), (0, 0)))
+    gn_bias = jnp.stack([jnp.asarray(
+        np.asarray(params[n]["bias"], np.float32)[perm]) for n in gn_names])
+
+    if gn_vpu:
+        gn_scale = jnp.stack([jnp.asarray(
+            np.asarray(params[n]["scale"], np.float32)[perm]) for n in gn_names])
+        gn_args = (gn_scale, gn_bias)
+    else:
+        # group-indicator matrix [H, NG], carrying 1/group_size so dot(h, G)
+        # is the group mean directly (1/32 is exact in bf16)
+        group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
+        indicator = np.eye(NUM_GROUPS, dtype=np.float32)[group_ids]  # [H, NG]
+        G = jnp.asarray(indicator / (hidden // NUM_GROUPS), jnp.bfloat16)
+        # transposed indicator with each GN's scale folded in: [n_tp, NG, H]
+        Gts = jnp.stack([
+            jnp.asarray(indicator.T * np.asarray(params[n]["scale"], np.float32)[None, :],
+                        jnp.bfloat16) for n in gn_names])
+        Gt = jnp.asarray(indicator.T, jnp.bfloat16)  # plain broadcast [NG, H]
+        gn_args = (Gts, gn_bias, G, Gt)
+
+    return dict(Wpre=Wpre, Ws=Ws, Wpost=Wpost, bpost=bpost, gn_args=gn_args,
+                gn_vpu=gn_vpu, tp_all=tp_all, out_scale=out_scale,
+                n_tp_pad=n_tp_pad)
+
+
+def bind_fwd(n_blocks: int, hidden: int, gn_vpu: bool, ablate: frozenset,
+             Wpre, Ws, Wpost, bpost, gn_refs, tp_buf):
+    """Bind unpacked kernel refs into ``fwd(x, slot) -> raw network output``
+    (Wpost + bias; any sigma output scaling is folded into the caller's
+    per-step coefficient tables)."""
+
+    def group_norm_vpu(h, scale_row, bias_row):
+        """GN with zero matmuls: the build pre-permutes the hidden dim so
+        feature p belongs to group ``p % 32`` (lane-strided groups). Group
+        sums then collapse to per-lane-tile VPU adds followed by two lane
+        rolls (lane l accumulates lanes {l, l+32, l+64, l+96}), leaving the
+        group stats replicated in exactly the lanes that need them — no
+        broadcast matmul either. Stats run one-pass in fp32 off the fp32
+        matmul accumulators, which is *more* accurate than the bf16
+        two-pass matmul path it replaces (bf16 rounds h to 8 bits first).
+        """
+        if "gn" in ablate:  # measurement-only ablation
+            return h
+        n_t = hidden // 128
+        inv_gs = 1.0 / (hidden // NUM_GROUPS)
+        s1 = h[:, 0:128]
+        s2 = s1 * s1
+        for kk in range(1, n_t):
+            t = h[:, 128 * kk:128 * (kk + 1)]
+            s1 = s1 + t
+            s2 = s2 + t * t
+        s1 = s1 + pltpu.roll(s1, 32, 1)
+        s1 = s1 + pltpu.roll(s1, 64, 1)
+        s2 = s2 + pltpu.roll(s2, 32, 1)
+        s2 = s2 + pltpu.roll(s2, 64, 1)
+        mu = s1 * inv_gs
+        var = s2 * inv_gs - mu * mu
+        a = jax.lax.rsqrt(jnp.maximum(var, 0.0) + GN_EPS)
+        if n_t > 1:  # tile the per-group stats back to full width
+            mu = jnp.concatenate([mu] * n_t, axis=1)
+            a = jnp.concatenate([a] * n_t, axis=1)
+        return (h - mu) * (a * scale_row) + bias_row
+
+    def group_norm_mm(h, G, Gt, Gts_j, bias_row):
+        """GN(h)*scale + bias as ``(h - mean)*af + bias``, via four bf16
+        group-indicator matmuls (fallback for hidden % 128 != 0). ``G``
+        carries the 1/group_size factor, so ``dot(h, G)`` IS the group
+        mean. The variance uses the two-pass *centered* form: the one-pass
+        E[h^2]-E[h]^2 cancels catastrophically in bf16 (can go negative ->
+        NaN). ``Gts_j`` is the transposed indicator with the GN scale
+        folded in."""
+        if "gn" in ablate:  # measurement-only ablation
+            return h
+        hb = h.astype(jnp.bfloat16)
+        mean = jnp.dot(hb, G, preferred_element_type=jnp.float32)
+        mean_f = jnp.dot(mean.astype(jnp.bfloat16), Gt,
+                         preferred_element_type=jnp.float32)
+        hc = h - mean_f
+        var = jnp.dot((hc * hc).astype(jnp.bfloat16), G,
+                      preferred_element_type=jnp.float32)
+        a = jax.lax.rsqrt(var + GN_EPS)                     # [B, NG] rstd
+        af = jnp.dot(a.astype(jnp.bfloat16), Gts_j,
+                     preferred_element_type=jnp.float32)
+        return hc * af + bias_row
+
+    if gn_vpu:
+        gn_scale, gn_bias = gn_refs
+
+        def gnorm(h, j):
+            return group_norm_vpu(h, gn_scale[j, :][None, :],
+                                  gn_bias[j, :][None, :])
+    else:
+        Gts, gn_bias, G, Gt = gn_refs
+
+        def gnorm(h, j):
+            return group_norm_mm(h, G[:], Gt[:], Gts[j],
+                                 gn_bias[j, :][None, :])
+
+    act = (lambda v: v) if "silu" in ablate else silu
+
+    def fwd(x, slot):
+        xb = x.astype(jnp.bfloat16)
+        h = jnp.dot(xb, Wpre[:], preferred_element_type=jnp.float32)
+        h = h + tp_buf[slot, 0, :][None, :]
+        h = gnorm(h, 0)
+        h = act(h)
+        for blk in range(n_blocks):
+            w1 = Ws[2 * blk]
+            w2 = Ws[2 * blk + 1]
+            h1 = jnp.dot(h.astype(jnp.bfloat16), w1[:],
+                         preferred_element_type=jnp.float32)
+            h1 = h1 + tp_buf[slot, 1 + 2 * blk, :][None, :]
+            h1 = gnorm(h1, 1 + 2 * blk)
+            h1 = act(h1)
+            h2 = jnp.dot(h1.astype(jnp.bfloat16), w2[:],
+                         preferred_element_type=jnp.float32)
+            h2 = h2 + tp_buf[slot, 2 + 2 * blk, :][None, :]
+            h2 = gnorm(h2, 2 + 2 * blk)
+            h2 = act(h2)
+            h = h + h2
+        res = jnp.dot(h.astype(jnp.bfloat16), Wpost[:],
+                      preferred_element_type=jnp.float32)
+        return res + bpost[:]
+
+    return fwd

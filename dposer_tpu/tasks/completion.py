@@ -33,7 +33,8 @@ class DPoserComp:
                  batch_size: Optional[int] = None, lr: float = 0.1,
                  iterations: int = 2, steps_per_iter: int = 100,
                  time_strategy: str = "3", sample_trun: float = 5.0,
-                 sample_time: int = 900, mesh=None):
+                 sample_time: int = 900, mesh=None, backend: str = "xla",
+                 model=None, params=None, interpret: bool = False):
         self.sde = sde
         self.prior = DPoserPrior(sde, score_fn)
         self.lr = lr
@@ -43,6 +44,21 @@ class DPoserComp:
         self.time_strategy = time_strategy
         self.sample_trun = sample_trun
         self.sample_time = sample_time
+        # backend="pallas": the ENTIRE Adam loop as one TPU kernel
+        # (ops/pallas/fused_comp.py) — forward-only per step since the
+        # reference detaches x0_hat. Needs the flax model+params (not just a
+        # score_fn closure) and a single device (mesh keeps the XLA path).
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
+        if backend == "pallas" and mesh is not None:
+            raise ValueError("backend='pallas' is single-device; use the XLA "
+                             "backend with mesh=")
+        if backend == "pallas" and (model is None or params is None):
+            raise ValueError("backend='pallas' needs model= and params=")
+        self.backend = backend
+        self._model, self._params = model, params
+        self._interpret = interpret
+        self._pallas_cache = {}
         if mesh is None:
             self._optimize = jax.jit(self._optimize_impl)
             self._optimize_hypos = jax.jit(jax.vmap(self._optimize_impl,
@@ -68,15 +84,16 @@ class DPoserComp:
                 out_shardings=NamedSharding(mesh, P(None, DATA_AXIS)))
 
     # -- loss -----------------------------------------------------------------
-    def _loss(self, x, key, t, observation, mask):
+    def _loss(self, x, key, t, observation, mask, z=None):
         vec_t = jnp.full((x.shape[0],), t, x.dtype)
         # ref completion.py:196 passes quan_t as `weighted` -> truthy
-        dposer = self.prior.loss(key, x, vec_t, weighted=True, reduction="mean")
+        dposer = self.prior.loss(key, x, vec_t, weighted=True,
+                                 reduction="mean", z=z)
         data = jnp.mean((x * mask - observation * mask) ** 2)
         return dposer, data
 
     # -- solver ---------------------------------------------------------------
-    def _optimize_impl(self, key, observation, mask):
+    def _optimize_impl(self, key, observation, mask, noise=None):
         opt = optax.adam(self.lr, b1=0.9, b2=0.999)
         x0 = observation
         opt_state = opt.init(x0)
@@ -90,9 +107,10 @@ class DPoserComp:
                                    self.time_strategy, self.sample_trun,
                                    self.sample_time, offset=2)
             t = timesteps[quan_t]
+            z = None if noise is None else noise[i]
 
             def total_loss(xv):
-                dposer, data = self._loss(xv, k_z, t, observation, mask)
+                dposer, data = self._loss(xv, k_z, t, observation, mask, z=z)
                 # weights: data 100/(1+it), dposer 0.1*(it+1) (ref :151-155)
                 return 100.0 / (1.0 + it) * data + 0.1 * (it + 1.0) * dposer
 
@@ -105,14 +123,55 @@ class DPoserComp:
                                  jnp.arange(self.total_steps, dtype=jnp.int32))
         return observation * mask + x * (1.0 - mask)
 
-    def optimize(self, key: jax.Array, observation: jnp.ndarray, mask: jnp.ndarray):
-        """One completion pass. observation/mask: [B, D]."""
+    def _pallas_solver(self, rows: int, dim: int, n_elems: int, rng_mode: str):
+        key = (rows, dim, n_elems, rng_mode)
+        if key not in self._pallas_cache:
+            from ..ops.pallas.fused_comp import get_pallas_comp_solver
+
+            self._pallas_cache[key] = get_pallas_comp_solver(
+                self.sde, self._model, self._params, (rows, dim), n_elems,
+                lr=self.lr, iterations=self.iterations,
+                steps_per_iter=self.steps_per_iter,
+                time_strategy=self.time_strategy,
+                sample_trun=self.sample_trun, sample_time=self.sample_time,
+                rng_mode=rng_mode, interpret=self._interpret)
+        return self._pallas_cache[key]
+
+    def optimize(self, key: jax.Array, observation: jnp.ndarray,
+                 mask: jnp.ndarray, noise=None):
+        """One completion pass. observation/mask: [B, D]. ``noise``
+        ([total_steps, B, D]) injects the per-step perturbation normals
+        (parity tests)."""
+        if self.backend == "pallas":
+            solver = self._pallas_solver(observation.shape[0],
+                                         observation.shape[1],
+                                         observation.size,
+                                         "host" if noise is not None else
+                                         self._default_rng_mode())
+            return solver(key, observation, mask, noise=noise)
+        if noise is not None:
+            return jax.jit(self._optimize_impl,
+                           static_argnames=())(key, observation, mask, noise)
         return self._optimize(key, observation, mask)
+
+    def _default_rng_mode(self):
+        return "kernel" if (not self._interpret
+                            and jax.default_backend() == "tpu") else "host"
 
     def optimize_hypos(self, key: jax.Array, observation: jnp.ndarray,
                        mask: jnp.ndarray, hypo: int):
         """vmap over hypotheses -> [B, hypo, D] (replaces the reference's
         sequential hypothesis loop, ref completion.py:284-287)."""
+        if self.backend == "pallas":
+            # hypotheses are extra rows: mean-loss gradients are per-element
+            # with the per-hypothesis 1/(B*D) divisor, so flattening is exact
+            b, d = observation.shape
+            solver = self._pallas_solver(hypo * b, d, b * d,
+                                         self._default_rng_mode())
+            obs_f = jnp.tile(observation, (hypo, 1))
+            mask_f = jnp.tile(mask, (hypo, 1))
+            out = solver(key, obs_f, mask_f)           # [hypo*B, D]
+            return jnp.swapaxes(out.reshape(hypo, b, d), 0, 1)
         keys = jax.random.split(key, hypo)
         outs = self._optimize_hypos(keys, observation, mask)  # [hypo, B, D]
         return jnp.swapaxes(outs, 0, 1)

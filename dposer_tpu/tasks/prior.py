@@ -83,13 +83,16 @@ class DPoserPrior:
 
     def loss(self, key: jax.Array, x0: jnp.ndarray, vec_t: jnp.ndarray,
              weighted: bool = False, multi_denoise: bool = False,
-             reduction: str = "mean", batch_size: Optional[int] = None):
+             reduction: str = "mean", batch_size: Optional[int] = None,
+             z: Optional[jnp.ndarray] = None):
         """DPoser loss (ref completion.py:131-149 / motion_denoising.py:125-143).
 
         reduction 'mean': torch MSELoss-mean semantics (completion);
         'sum_per_batch': sum / batch_size (motion denoising & SMPLify).
+        ``z`` injects the perturbation normal (parity tests).
         """
-        z = jax.random.normal(key, x0.shape, x0.dtype)
+        if z is None:
+            z = jax.random.normal(key, x0.shape, x0.dtype)
         mean, std = self.sde.marginal_prob(x0, vec_t)
         perturbed = mean + batch_mul(std, z)
         if multi_denoise:

@@ -100,7 +100,26 @@ def main(args):
     n_dev = mesh.devices.size
     print(f"data-parallel over {n_dev} local device(s), "
           f"{jax.process_count()} process(es)")
-    compfn = DPoserComp(sde, score_fn, config.training.continuous, mesh=mesh)
+    # single TPU: the whole 2x100-step Adam loop runs as ONE Pallas kernel
+    # (ops/pallas/fused_comp.py); multi-device keeps the GSPMD XLA path
+    # (the reference's only real parallelism, ref completion.py:326-338)
+    compfn = None
+    if (n_dev == 1 and jax.default_backend() == "tpu"
+            and config.model.embedding_type == "positional"):
+        try:
+            compfn = DPoserComp(sde, score_fn, config.training.continuous,
+                                backend="pallas", model=model, params=params)
+            dim = 63 if config.data.rot_rep == "axis" else 126
+            compfn.optimize_hypos(key, jnp.zeros((args.batch_size, dim)),
+                                  jnp.zeros((args.batch_size, dim)),
+                                  args.hypo)  # compile probe
+            print("completion solver: fused Pallas kernel")
+        except Exception as e:  # noqa: BLE001 — any Mosaic/VMEM issue
+            print(f"pallas completion solver unavailable ({e}); using XLA")
+            compfn = None
+    if compfn is None:
+        compfn = DPoserComp(sde, score_fn, config.training.continuous,
+                            mesh=mesh)
     evaler = Evaler(body_model=body_model, part=args.part)
 
     batch_range = par.shard_eval_batches(len(test_dataset), args.batch_size)

@@ -219,11 +219,23 @@ def main(args):
         if args.task == "completion":
             # optimization solver; NOTE the demo variant uses time_strategy '2'
             # (ref run/demo.py:306) unlike run.completion's '3'
-            comp_mesh = mesh if observation.shape[0] % mesh.devices.size == 0 else None
-            compfn = DPoserComp(sde, score_fn, time_strategy="2", sample_time=900,
-                                mesh=comp_mesh)
             key, ko = jax.random.split(key)
-            multihypo = compfn.optimize_hypos(ko, observation, mask, hypo_num)
+            multihypo = None
+            if (mesh.devices.size == 1 and jax.default_backend() == "tpu"
+                    and config.model.embedding_type == "positional"):
+                try:  # whole Adam loop as one Pallas kernel
+                    compfn = DPoserComp(sde, score_fn, time_strategy="2",
+                                        sample_time=900, backend="pallas",
+                                        model=model, params=params)
+                    multihypo = compfn.optimize_hypos(ko, observation, mask,
+                                                      hypo_num)
+                except Exception as e:  # noqa: BLE001
+                    print(f"pallas completion solver unavailable ({e}); XLA")
+            if multihypo is None:
+                comp_mesh = mesh if observation.shape[0] % mesh.devices.size == 0 else None
+                compfn = DPoserComp(sde, score_fn, time_strategy="2",
+                                    sample_time=900, mesh=comp_mesh)
+                multihypo = compfn.optimize_hypos(ko, observation, mask, hypo_num)
         else:
             # ScoreSDE imputation inside the reverse sampler; hypotheses via
             # vmap (replaces the reference's sequential loop, ref demo.py:

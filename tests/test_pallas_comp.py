@@ -1,0 +1,86 @@
+"""Fused completion kernel (interpret) vs the XLA DPoserComp solver.
+
+Identical injected perturbation noise and deterministic time strategy on
+both sides; the kernel's bf16 matmuls vs fp32 XLA give bounded per-step
+differences through a *contractive* Adam loop (no chaotic amplification —
+the optimizer pulls toward the data term), so the comparison is tight.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dposer_tpu.diffusion import sde as sde_lib
+from dposer_tpu.diffusion.score_fn import get_score_fn
+from dposer_tpu.models import ScoreModelFC
+from dposer_tpu.tasks import DPoserComp
+
+B, DIM = 6, 63
+ITERS, SPI = 2, 8  # 2x8 Adam steps keep interpret-mode runtime sane
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+                         n_blocks=2, dropout=0.0, scale_by_sigma=True,
+                         num_scales=1000)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, DIM)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.SubVPSDE(N=500)
+    score_fn = get_score_fn(sde, lambda x, t: model.apply({"params": params}, x, t),
+                            continuous=True)
+    obs = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (B, DIM))
+    mask = jnp.zeros((B, DIM)).at[:, 39:45].set(1.0)
+    return model, params, sde, score_fn, obs, mask
+
+
+@pytest.mark.parametrize("time_strategy", ["3", "2"])
+def test_pallas_comp_matches_xla(setup, time_strategy):
+    model, params, sde, score_fn, obs, mask = setup
+    kw = dict(iterations=ITERS, steps_per_iter=SPI,
+              time_strategy=time_strategy)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (ITERS * SPI, B, DIM))
+    key = jax.random.PRNGKey(3)
+
+    xla = DPoserComp(sde, score_fn, **kw)
+    ref = np.asarray(xla.optimize(key, obs, mask, noise=noise))
+
+    pal = DPoserComp(sde, score_fn, backend="pallas", model=model,
+                     params=params, interpret=True, **kw)
+    out = np.asarray(pal.optimize(key, obs, mask, noise=noise))
+
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(out, ref, atol=5e-3 * scale,
+                               err_msg=f"strategy={time_strategy}")
+    # observed dims must be pasted exactly
+    np.testing.assert_array_equal(out * np.asarray(mask),
+                                  np.asarray(obs * mask))
+
+
+def test_pallas_comp_hypos_match_single(setup):
+    """Hypo-flattened rows == running each hypothesis separately (the
+    per-hypothesis mean-loss divisor must survive the flattening)."""
+    model, params, sde, score_fn, obs, mask = setup
+    kw = dict(iterations=1, steps_per_iter=6)
+    pal = DPoserComp(sde, score_fn, backend="pallas", model=model,
+                     params=params, interpret=True, **kw)
+    noise1 = jax.random.normal(jax.random.PRNGKey(11), (6, B, DIM))
+    single = np.asarray(pal.optimize(jax.random.PRNGKey(5), obs, mask,
+                                     noise=noise1))
+    # same noise tiled for 2 hypotheses -> both hypotheses identical to single
+    noise2 = jnp.concatenate([noise1, noise1], axis=1)  # [T, 2B, D]
+    solver = pal._pallas_solver(2 * B, DIM, B * DIM, "host")
+    flat = np.asarray(solver(jax.random.PRNGKey(5),
+                             jnp.tile(obs, (2, 1)), jnp.tile(mask, (2, 1)),
+                             noise=noise2))
+    np.testing.assert_allclose(flat[:B], single, atol=1e-5)
+    np.testing.assert_allclose(flat[B:], single, atol=1e-5)
+
+
+def test_pallas_comp_rejects_random_time_strategy(setup):
+    model, params, sde, score_fn, obs, mask = setup
+    pal = DPoserComp(sde, score_fn, backend="pallas", model=model,
+                     params=params, interpret=True, time_strategy="1",
+                     iterations=1, steps_per_iter=2)
+    with pytest.raises(NotImplementedError):
+        pal.optimize(jax.random.PRNGKey(0), obs, mask)
