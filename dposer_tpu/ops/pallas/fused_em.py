@@ -167,11 +167,14 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
                 z = draw(k)
                 k += 1
                 # batch-mean row norms over real rows/dims only
-                rn = jnp.sqrt(jnp.sum(score * score, axis=1, keepdims=True))
-                zn = jnp.sqrt(jnp.sum(z * z * norm_mask, axis=1, keepdims=True))
-                grad_norm = jnp.sum(rn * row_mask[:, :1]) * inv_n_real
-                noise_norm = jnp.sum(zn * row_mask[:, :1]) * inv_n_real
-                step_size = (snr * noise_norm / grad_norm) ** 2 * 2.0 * coefs[i, 4]
+                if "corrnorm" in ablate:  # measurement-only ablation
+                    step_size = snr ** 2 * 2.0 * coefs[i, 4]
+                else:
+                    rn = jnp.sqrt(jnp.sum(score * score, axis=1, keepdims=True))
+                    zn = jnp.sqrt(jnp.sum(z * z * norm_mask, axis=1, keepdims=True))
+                    grad_norm = jnp.sum(rn * row_mask[:, :1]) * inv_n_real
+                    noise_norm = jnp.sum(zn * row_mask[:, :1]) * inv_n_real
+                    step_size = (snr * noise_norm / grad_norm) ** 2 * 2.0 * coefs[i, 4]
                 x = x + step_size * score + jnp.sqrt(2.0 * step_size) * z
 
             # --- imputation after the corrector (ref sampling.py:410-427) --
