@@ -60,6 +60,46 @@ def test_kernel_matches_xla_reference(scale_by_sigma, gn):
                                err_msg=f"scale_by_sigma={scale_by_sigma} gn={gn}")
 
 
+@pytest.mark.parametrize("sde_name", ["vp", "ve"])
+def test_kernel_other_sde_families(sde_name):
+    """The kernel's coefficient tables are SDE-generic: VP and VE must match
+    the XLA twin too (flagship protocols use subVP; covered above)."""
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+                         n_blocks=1, dropout=0.0, scale_by_sigma=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 63)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.VPSDE(N=20) if sde_name == "vp" else sde_lib.VESDE(N=20)
+    eps = 1e-3 if sde_name == "vp" else 1e-5
+    shape = (8, 63)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (20,) + shape)
+    ref = np.asarray(xla_reference(sde, model, params, x0, noise, eps=eps))
+    sampler = get_pallas_em_sampler(sde, model, params, shape, eps=eps,
+                                    interpret=True)
+    _, out = sampler(jax.random.PRNGKey(9), z=x0, noise=noise)
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2 * scale,
+                               err_msg=sde_name)
+
+
+def test_kernel_rot6d_dims():
+    """126-dim rot6d poses (dim_p = 128, partially padded lane tile)."""
+    model = ScoreModelFC(n_poses=21, pose_dim=6, hidden_dim=128, embed_dim=64,
+                         n_blocks=1, dropout=0.0, scale_by_sigma=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 126)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.SubVPSDE(N=15)
+    shape = (8, 126)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (15,) + shape)
+    ref = np.asarray(xla_reference(sde, model, params, x0, noise, eps=1e-3))
+    sampler = get_pallas_em_sampler(sde, model, params, shape, eps=1e-3,
+                                    interpret=True)
+    _, out = sampler(jax.random.PRNGKey(9), z=x0, noise=noise)
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2 * scale)
+
+
 def test_kernel_gn_fallback_unaligned_hidden():
     """hidden % 128 != 0 selects the matmul-GN path automatically and still
     matches the XLA reference."""
