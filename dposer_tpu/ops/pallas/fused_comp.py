@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...diffusion.fast_sampler import _labels_for
+from ...diffusion.fast_sampler import _corrector_tables, _labels_for
 from ...diffusion.sde import SDE
 from ...models.score_mlp import ScoreModelFC
 from ...tasks.prior import sample_quan_t
@@ -141,6 +141,7 @@ def get_pallas_comp_solver(sde: SDE, model: ScoreModelFC, params,
                            sample_trun: float = 5.0, sample_time: int = 900,
                            eps: float = 1e-3, rng_mode: str = "host",
                            interpret: bool = False, gn: str = "auto",
+                           continuous: bool = True,
                            _ablate: frozenset = frozenset()):
     """Build the fused completion solver.
 
@@ -160,6 +161,10 @@ def get_pallas_comp_solver(sde: SDE, model: ScoreModelFC, params,
     """
     if rng_mode not in ("host", "kernel"):
         raise ValueError(f"rng_mode must be 'host' or 'kernel', got {rng_mode!r}")
+    if not continuous:
+        raise NotImplementedError(
+            "pallas completion solver folds the continuous-time score "
+            "convention into its tables; discrete training uses the XLA path")
     if time_strategy not in ("2", "3"):
         raise NotImplementedError(
             "pallas completion solver supports deterministic time strategies "
@@ -208,11 +213,10 @@ def get_pallas_comp_solver(sde: SDE, model: ScoreModelFC, params,
     alpha, sigma = sde.return_alpha_sigma(t)
     alpha = alpha.reshape(total_steps) if alpha.ndim > 1 else alpha
     sigma2 = sigma ** 2
-    # score = -raw/std (ref utils.py:155) with the model's own 1/sigma_ladder
+    # model-out -> score conversion, SDE-aware (VP/subVP: -1/std, ref
+    # utils.py:155; VE: identity), with the model's own 1/sigma_ladder
     # output scaling folded in (score_net precomputes out_scale)
-    score_scale = -1.0 / c_s
-    if out_scale is not None:
-        score_scale = score_scale * out_scale
+    score_scale, _ = _corrector_tables(sde, t, out_scale)
     ca = 1.0 / alpha
     cb = sigma2 * score_scale / alpha
     snr = alpha / jnp.sqrt(sigma2)

@@ -72,6 +72,10 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
     n_blocks = model.n_blocks
     if model.embedding_type != "positional":
         raise NotImplementedError("fused kernels support positional embeddings")
+    if model.act_name != "swish":
+        raise NotImplementedError(
+            f"fused kernels hardcode SiLU; model uses {model.act_name!r} — "
+            "use the XLA samplers/solvers")
     gn_vpu = hidden % 128 == 0 if gn == "auto" else gn == "vpu"
     if gn_vpu and hidden % 128:
         raise ValueError("gn='vpu' needs hidden % 128 == 0")

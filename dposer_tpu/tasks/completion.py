@@ -56,9 +56,11 @@ class DPoserComp:
         if backend == "pallas" and (model is None or params is None):
             raise ValueError("backend='pallas' needs model= and params=")
         self.backend = backend
+        self.continuous = continuous
         self._model, self._params = model, params
         self._interpret = interpret
         self._pallas_cache = {}
+        self._optimize_with_noise = None
         if mesh is None:
             self._optimize = jax.jit(self._optimize_impl)
             self._optimize_hypos = jax.jit(jax.vmap(self._optimize_impl,
@@ -134,7 +136,8 @@ class DPoserComp:
                 steps_per_iter=self.steps_per_iter,
                 time_strategy=self.time_strategy,
                 sample_trun=self.sample_trun, sample_time=self.sample_time,
-                rng_mode=rng_mode, interpret=self._interpret)
+                rng_mode=rng_mode, interpret=self._interpret,
+                continuous=self.continuous)
         return self._pallas_cache[key]
 
     def optimize(self, key: jax.Array, observation: jnp.ndarray,
@@ -150,8 +153,9 @@ class DPoserComp:
                                          self._default_rng_mode())
             return solver(key, observation, mask, noise=noise)
         if noise is not None:
-            return jax.jit(self._optimize_impl,
-                           static_argnames=())(key, observation, mask, noise)
+            if self._optimize_with_noise is None:
+                self._optimize_with_noise = jax.jit(self._optimize_impl)
+            return self._optimize_with_noise(key, observation, mask, noise)
         return self._optimize(key, observation, mask)
 
     def _default_rng_mode(self):

@@ -77,6 +77,47 @@ def test_pallas_comp_hypos_match_single(setup):
     np.testing.assert_allclose(flat[B:], single, atol=1e-5)
 
 
+def test_pallas_comp_ve_sde(setup):
+    """VE score convention (model out IS the score) flows through the
+    SDE-aware coefficient tables."""
+    model, params, _, _, obs, mask = setup
+    sde = sde_lib.VESDE(N=500)
+    score_fn = get_score_fn(sde, lambda x, t: model.apply({"params": params}, x, t),
+                            continuous=True)
+    kw = dict(iterations=1, steps_per_iter=6)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (6, B, DIM))
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(DPoserComp(sde, score_fn, **kw).optimize(
+        key, obs, mask, noise=noise))
+    pal = DPoserComp(sde, score_fn, backend="pallas", model=model,
+                     params=params, interpret=True, **kw)
+    out = np.asarray(pal.optimize(key, obs, mask, noise=noise))
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(out, ref, atol=5e-3 * scale)
+
+
+def test_pallas_comp_guards(setup):
+    """Out-of-scope configs raise so CLI auto-selection falls back to XLA."""
+    model, params, sde, score_fn, obs, mask = setup
+    # discrete (continuous=False) score convention
+    pal = DPoserComp(sde, score_fn, continuous=False, backend="pallas",
+                     model=model, params=params, interpret=True,
+                     iterations=1, steps_per_iter=2)
+    with pytest.raises(NotImplementedError):
+        pal.optimize(jax.random.PRNGKey(0), obs, mask)
+    # non-swish activation
+    relu_model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128,
+                              embed_dim=64, n_blocks=1, dropout=0.0,
+                              act_name="relu")
+    relu_params = relu_model.init(jax.random.PRNGKey(0), jnp.zeros((1, DIM)),
+                                  jnp.zeros((1,)))["params"]
+    pal = DPoserComp(sde, score_fn, backend="pallas", model=relu_model,
+                     params=relu_params, interpret=True,
+                     iterations=1, steps_per_iter=2)
+    with pytest.raises(NotImplementedError):
+        pal.optimize(jax.random.PRNGKey(0), obs, mask)
+
+
 def test_pallas_comp_rejects_random_time_strategy(setup):
     model, params, sde, score_fn, obs, mask = setup
     pal = DPoserComp(sde, score_fn, backend="pallas", model=model,

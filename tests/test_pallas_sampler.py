@@ -34,70 +34,55 @@ def xla_reference(sde, model, params, x0, noise, eps, denoise=True):
     return x_mean if denoise else x
 
 
+
+def run_parity(sde, eps, shape=(8, 63), atol_scale=2e-2, n_steps=None,
+               model_kwargs=None, **sampler_kwargs):
+    """Shared parity harness: build model+params, run the XLA twin and the
+    interpret-mode kernel on identical injected noise, compare at
+    trajectory scale."""
+    mk = dict(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+              n_blocks=2, dropout=0.0, scale_by_sigma=False)
+    mk.update(model_kwargs or {})
+    model = ScoreModelFC(**mk)
+    dim = mk["n_poses"] * mk["pose_dim"]
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, dim)),
+                        jnp.zeros((1,)))["params"]
+    n = n_steps or sde.N
+    x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (n,) + shape)
+    ref = np.asarray(xla_reference(sde, model, params, x0, noise, eps=eps))
+    sampler = get_pallas_em_sampler(sde, model, params, shape, eps=eps,
+                                    interpret=True, **sampler_kwargs)
+    _, out = sampler(jax.random.PRNGKey(9), z=x0, noise=noise)
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=atol_scale * scale)
+
+
 @pytest.mark.parametrize("gn", ["vpu", "mm"])
 @pytest.mark.parametrize("scale_by_sigma", [False, True])
 def test_kernel_matches_xla_reference(scale_by_sigma, gn):
     """Both GN paths: lane-strided VPU (hidden % 128 == 0, the default) and
-    the group-matmul fallback."""
-    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
-                         n_blocks=2, dropout=0.0, scale_by_sigma=scale_by_sigma)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 63)),
-                        jnp.zeros((1,)))["params"]
-    sde = sde_lib.SubVPSDE(N=20)  # short horizon: bf16-vs-fp32 drift stays small
-    shape = (8, 63)
-    key = jax.random.PRNGKey(1)
-    x0 = jax.random.normal(key, shape)
-    noise = jax.random.normal(jax.random.PRNGKey(2), (20,) + shape)
-
-    ref = np.asarray(xla_reference(sde, model, params, x0, noise, eps=1e-3))
-    sampler = get_pallas_em_sampler(sde, model, params, shape, eps=1e-3,
-                                    interpret=True, gn=gn)
-    _, out = sampler(jax.random.PRNGKey(9), z=x0, noise=noise)
-    out = np.asarray(out)
-    scale = max(1.0, np.abs(ref).max())
-    # kernel uses bf16 matmuls; fp32 interpret-mode still reassociates GN math
-    np.testing.assert_allclose(out, ref, atol=2e-2 * scale,
-                               err_msg=f"scale_by_sigma={scale_by_sigma} gn={gn}")
+    the group-matmul fallback; kernel bf16 matmuls vs the fp32 XLA twin."""
+    run_parity(sde_lib.SubVPSDE(N=20), eps=1e-3, gn=gn,
+               model_kwargs=dict(scale_by_sigma=scale_by_sigma))
 
 
 @pytest.mark.parametrize("sde_name", ["vp", "ve"])
 def test_kernel_other_sde_families(sde_name):
     """The kernel's coefficient tables are SDE-generic: VP and VE must match
     the XLA twin too (flagship protocols use subVP; covered above)."""
-    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
-                         n_blocks=1, dropout=0.0, scale_by_sigma=False)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 63)),
-                        jnp.zeros((1,)))["params"]
-    sde = sde_lib.VPSDE(N=20) if sde_name == "vp" else sde_lib.VESDE(N=20)
-    eps = 1e-3 if sde_name == "vp" else 1e-5
-    shape = (8, 63)
-    x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
-    noise = jax.random.normal(jax.random.PRNGKey(2), (20,) + shape)
-    ref = np.asarray(xla_reference(sde, model, params, x0, noise, eps=eps))
-    sampler = get_pallas_em_sampler(sde, model, params, shape, eps=eps,
-                                    interpret=True)
-    _, out = sampler(jax.random.PRNGKey(9), z=x0, noise=noise)
-    scale = max(1.0, float(np.abs(ref).max()))
-    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2 * scale,
-                               err_msg=sde_name)
+    if sde_name == "vp":
+        run_parity(sde_lib.VPSDE(N=20), eps=1e-3,
+                   model_kwargs=dict(n_blocks=1))
+    else:
+        run_parity(sde_lib.VESDE(N=20), eps=1e-5,
+                   model_kwargs=dict(n_blocks=1))
 
 
 def test_kernel_rot6d_dims():
     """126-dim rot6d poses (dim_p = 128, partially padded lane tile)."""
-    model = ScoreModelFC(n_poses=21, pose_dim=6, hidden_dim=128, embed_dim=64,
-                         n_blocks=1, dropout=0.0, scale_by_sigma=False)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 126)),
-                        jnp.zeros((1,)))["params"]
-    sde = sde_lib.SubVPSDE(N=15)
-    shape = (8, 126)
-    x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
-    noise = jax.random.normal(jax.random.PRNGKey(2), (15,) + shape)
-    ref = np.asarray(xla_reference(sde, model, params, x0, noise, eps=1e-3))
-    sampler = get_pallas_em_sampler(sde, model, params, shape, eps=1e-3,
-                                    interpret=True)
-    _, out = sampler(jax.random.PRNGKey(9), z=x0, noise=noise)
-    scale = max(1.0, float(np.abs(ref).max()))
-    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2 * scale)
+    run_parity(sde_lib.SubVPSDE(N=15), eps=1e-3, shape=(8, 126),
+               model_kwargs=dict(pose_dim=6, n_blocks=1))
 
 
 def test_kernel_gn_fallback_unaligned_hidden():
