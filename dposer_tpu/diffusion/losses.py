@@ -272,7 +272,8 @@ def multi_step(step_fn):
     ``fn(state, key, batches [K, B, D]) -> (state, loss_dict of [K])``.
     Each substep consumes ``fold_in(key, j)`` and is numerically identical
     to calling ``step_fn`` K times with those keys — only the per-step
-    host->device dispatch (~25-30 us on a tunneled chip) is amortized.
+    host->device dispatch (~25 ms RPC latency on a tunneled chip,
+    us-level when directly attached) is amortized.
     The reference dispatches per step from Python (ref train.py:245-247).
     """
     import jax

@@ -56,7 +56,7 @@ def parse_args(argv):
                              "capability — the reference has no profiling)")
     parser.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="train steps scanned per device dispatch "
-                             "(amortizes the ~25-30us per-dispatch overhead "
+                             "(amortizes the per-dispatch overhead — ~25 ms RPC on a tunneled chip — "
                              "on tunneled chips; log/eval/save freqs must be "
                              "divisible by it)")
     return parser.parse_args(argv[1:])
