@@ -56,9 +56,10 @@ def parse_args(argv):
                              "capability — the reference has no profiling)")
     parser.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="train steps scanned per device dispatch "
-                             "(amortizes the per-dispatch overhead — ~25 ms RPC on a tunneled chip — "
-                             "on tunneled chips; log/eval/save freqs must be "
-                             "divisible by it)")
+                             "(amortizes the ~25 ms per-dispatch RPC overhead "
+                             "of tunneled chips; any value works — eval/save "
+                             "fire when a dispatch crosses a freq multiple, "
+                             "and a final partial window runs step-by-step)")
     return parser.parse_args(argv[1:])
 
 
@@ -199,13 +200,10 @@ def main(args):
         raise ValueError(f"batch {config.training.batch_size} must be divisible "
                          f"by the {n_dev} mesh devices")
     K = max(1, args.steps_per_dispatch)
-    for freq, name in ((config.training.log_freq, "log_freq"),
-                       (config.training.eval_freq, "eval_freq"),
-                       (config.training.save_freq, "save_freq"),
-                       (config.training.n_iters, "n_iters")):
-        if K > 1 and freq % K:
-            raise ValueError(f"{name}={freq} must be divisible by "
-                             f"--steps-per-dispatch={K}")
+    # No divisibility requirements: per-substep log triggers and the
+    # crossed-a-multiple eval/save predicate below work for any K (the
+    # reference's flagship n_iters=400001 is prime-ish on purpose); a
+    # final partial window runs as single-step dispatches.
     sharded_step = par.data_parallel_step(train_step, mesh)
     if K > 1:
         sharded_multi = par.data_parallel_multi_step(
@@ -259,20 +257,24 @@ def main(args):
                 and local_step >= 10:
             jax.profiler.start_trace(args.profile_dir)
             trace_active = True
-        if K == 1:
-            batch = next(batches)
-            state, loss_dict = sharded_step(state, k_step,
-                                            par.shard_global_batch(mesh, batch))
-            sub_losses = [{k: float(v) for k, v in loss_dict.items()}]
-        else:
+        k_this = min(K, num_train_steps - step)
+        if k_this == K and K > 1:
             stack = np.stack([np.asarray(next(batches)) for _ in range(K)])
             state, loss_dicts = sharded_multi(
                 state, k_step, par.shard_global_multi_batch(mesh, stack))
             sub_losses = [{k: float(v[j]) for k, v in loss_dicts.items()}
                           for j in range(K)]
+        else:  # K == 1, or the final partial window: single-step dispatches
+            sub_losses = []
+            for j in range(k_this):
+                batch = next(batches)
+                kj = jax.random.fold_in(k_step, j) if j else k_step
+                state, loss_dict = sharded_step(
+                    state, kj, par.shard_global_batch(mesh, batch))
+                sub_losses.append({k: float(v) for k, v in loss_dict.items()})
         prev_step = step
         step = int(state.step)
-        local_step += K
+        local_step += k_this
         if trace_active and local_step >= 20:
             jax.profiler.stop_trace()
             trace_active = False
@@ -293,14 +295,14 @@ def main(args):
                     msg += f"{k}: {metrics[k] / config.training.log_freq:.6f},\t"
                     metrics[k] = 0.0
                 if timer.steps_per_sec:
-                    steps_per_sec = timer.steps_per_sec * K
+                    steps_per_sec = timer.steps_per_sec * k_this
                     msg += f"steps/s: {steps_per_sec:.1f},\t"
                     writer.add_scalar("steps_per_sec", steps_per_sec, s_j)
                 logger.info(msg)
 
         # "crossed a multiple of freq this dispatch": == 0 for K == 1; after
         # resuming from a non-K-aligned step, plain % == 0 could never fire
-        if step % config.training.eval_freq < K <= step:
+        if step % config.training.eval_freq < k_this <= step:
             logger.info("start validating")
             ema_params = state.ema.shadow_params
             score_fn = eval_score_fn_for(ema_params)
@@ -390,7 +392,7 @@ def main(args):
                         "decay": state.ema.decay},
                      "step": int(state.step)})
 
-        if step % config.training.save_freq < K <= step:
+        if step % config.training.save_freq < k_this <= step:
             logger.info(f"Save checkpoint to {final_output_dir}")
             save_checkpoint()
 
