@@ -203,7 +203,14 @@ def main(args):
     # No divisibility requirements: per-substep log triggers and the
     # crossed-a-multiple eval/save predicate below work for any K (the
     # reference's flagship n_iters=400001 is prime-ish on purpose); a
-    # final partial window runs as single-step dispatches.
+    # final partial window runs as single-step dispatches. Multiple freq
+    # multiples crossed by ONE dispatch collapse into one eval/save:
+    for freq, name in ((config.training.eval_freq, "eval_freq"),
+                       (config.training.save_freq, "save_freq")):
+        if K > freq:
+            logger.warning(
+                f"--steps-per-dispatch={K} > {name}={freq}: {name} events "
+                f"fire once per dispatch (every {K} steps), not every {freq}")
     sharded_step = par.data_parallel_step(train_step, mesh)
     if K > 1:
         sharded_multi = par.data_parallel_multi_step(
@@ -295,14 +302,16 @@ def main(args):
                     msg += f"{k}: {metrics[k] / config.training.log_freq:.6f},\t"
                     metrics[k] = 0.0
                 if timer.steps_per_sec:
-                    steps_per_sec = timer.steps_per_sec * k_this
+                    # per-dispatch EMA x nominal window (the one partial
+                    # tail window would misscale the full-dispatch EMA)
+                    steps_per_sec = timer.steps_per_sec * K
                     msg += f"steps/s: {steps_per_sec:.1f},\t"
                     writer.add_scalar("steps_per_sec", steps_per_sec, s_j)
                 logger.info(msg)
 
         # "crossed a multiple of freq this dispatch": == 0 for K == 1; after
         # resuming from a non-K-aligned step, plain % == 0 could never fire
-        if step % config.training.eval_freq < k_this <= step:
+        if step % config.training.eval_freq < k_this:
             logger.info("start validating")
             ema_params = state.ema.shadow_params
             score_fn = eval_score_fn_for(ema_params)
@@ -392,7 +401,7 @@ def main(args):
                         "decay": state.ema.decay},
                      "step": int(state.step)})
 
-        if step % config.training.save_freq < k_this <= step:
+        if step % config.training.save_freq < k_this:
             logger.info(f"Save checkpoint to {final_output_dir}")
             save_checkpoint()
 
