@@ -118,6 +118,17 @@ def test_pallas_comp_guards(setup):
         pal.optimize(jax.random.PRNGKey(0), obs, mask)
 
 
+def test_pallas_comp_vmem_guard(setup):
+    """Row counts that cannot fit on-core raise a clear ValueError (the CLI
+    catches it and falls back to the XLA solver)."""
+    from dposer_tpu.ops.pallas.fused_comp import get_pallas_comp_solver
+
+    model, params, sde, _, _, _ = setup
+    with pytest.raises(ValueError, match="VMEM"):
+        get_pallas_comp_solver(sde, model, params, (400_000, DIM),
+                               n_elems=400_000 * DIM, interpret=True)
+
+
 def test_pallas_comp_rejects_random_time_strategy(setup):
     model, params, sde, score_fn, obs, mask = setup
     pal = DPoserComp(sde, score_fn, backend="pallas", model=model,
