@@ -2,9 +2,31 @@
 
 Real SMPL-X releases are license-gated and absent from this environment; the
 LBS math is validated on randomly generated models with the exact on-disk
-layout of the releases.
+layout of the releases. The kinematic tree uses the REAL published
+SMPL-family parent tables (public model-topology constants), so part-wise
+metrics behave as they do on the releases (e.g. arm-chain joint positions
+respond to arm rotations).
 """
 import numpy as np
+
+# Published SMPL-family kinematic parents (body 22 shared by all; SMPL adds
+# two hand stubs; SMPL-H/-X add 15-joint hands, SMPL-X also jaw/eyes).
+_BODY22 = [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16,
+           17, 18, 19]
+
+
+def _parents(model_type):
+    if model_type == "smpl":
+        return _BODY22 + [20, 21]
+    def hand(wrist, start):
+        out = []
+        for k in range(5):
+            out += [wrist, start + 3 * k, start + 3 * k + 1]
+        return out
+    if model_type == "smplh":
+        return _BODY22 + hand(20, 22) + hand(21, 37)
+    # smplx: jaw/leye/reye then the two hands
+    return _BODY22 + [15, 15, 15] + hand(20, 25) + hand(21, 40)
 
 
 def make_synthetic_body_model(path, model_type="smplx", n_verts=120, seed=0):
@@ -36,16 +58,10 @@ def make_synthetic_body_model(path, model_type="smplx", n_verts=120, seed=0):
     weights[np.arange(n_verts), group] += 1.0
     weights /= weights.sum(1, keepdims=True)
 
-    # kinematic chain: parent[j] < j, random but tree-shaped
-    parents = np.zeros(n_joints, np.int64)
-    parents[0] = 2 ** 32 - 1  # root marker as in releases
-    # NOTE: the random tree below lacks the real arm/leg CHAINS, so part
-    # completion evals report mpjpe_body = 0.0 on this fixture (a part
-    # joint's position depends only on its ancestors' rotations, and here
-    # no part joint is another's ancestor) while mpvpe_all stays sensitive
-    # through the skinning weights. With real releases both respond.
-    for j in range(1, n_joints):
-        parents[j] = rng.integers(0, j)
+    # real published kinematic chains (root marker as in releases)
+    parents = np.asarray(_parents(model_type), np.int64)
+    assert len(parents) == n_joints
+    parents[0] = 2 ** 32 - 1
     kintree_table = np.stack([parents, np.arange(n_joints)], 0)
 
     faces = rng.integers(0, n_verts, size=(64, 3)).astype(np.int32)
