@@ -180,10 +180,11 @@ def get_pallas_comp_solver(sde: SDE, model: ScoreModelFC, params,
 
     # VMEM guard: weights + x/m/v/obs/mask (+2 noise slabs) + ~3 activations
     n_bufs = 5 + (0 if kernel_rng else 2)
+    n_tp_pad_est = round_up(1 + 2 * n_blocks, 8)  # = scratch slab's dim below
     est = (2 * (dim * hidden + 2 * n_blocks * hidden * hidden + hidden * dim)
            + 4 * batch_p * dim_p * n_bufs
            + 4 * 3 * batch_p * hidden
-           + 4 * 2 * 8 * hidden)
+           + 4 * 2 * n_tp_pad_est * hidden)
     budget = 100 * 1024 * 1024
     if est > budget:
         raise ValueError(

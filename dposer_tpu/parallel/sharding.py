@@ -183,6 +183,58 @@ def multi_hypothesis_imputation_sampler(sampler: Callable, mesh: Mesh) -> Callab
     return run
 
 
+def data_parallel_sampler_params(sampler_factory: Callable, mesh: Mesh) -> Callable:
+    """Param-threaded variant of :func:`data_parallel_sampler`, jitted ONCE.
+
+    ``sampler_factory(params) -> sampler`` is invoked inside the jitted
+    program, and ``run(params, key, ...)`` takes the score-net params as an
+    explicit (replicated) argument — so a caller whose params *change value*
+    every call (run.train's EMA-swapped eval, ref train.py:275-312) reuses
+    one compiled 1000-step scan instead of retracing it per eval firing.
+    """
+    bshard = batch_sharding(mesh)
+    tshard = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    @jax.jit
+    def run(params, key, observation=None, mask=None, z=None):
+        kwargs = {}
+        if observation is not None:
+            kwargs["observation"] = jax.lax.with_sharding_constraint(observation, bshard)
+        if mask is not None:
+            kwargs["mask"] = jax.lax.with_sharding_constraint(mask, bshard)
+        if z is not None:
+            kwargs["z"] = jax.lax.with_sharding_constraint(z, bshard)
+        trajs, x = sampler_factory(params)(key, **kwargs)
+        x = jax.lax.with_sharding_constraint(x, bshard)
+        if trajs is not None and getattr(trajs, "ndim", 0) >= 2:
+            trajs = jax.lax.with_sharding_constraint(trajs, tshard)
+        return trajs, x
+
+    return run
+
+
+def multi_hypothesis_imputation_sampler_params(sampler_factory: Callable,
+                                               mesh: Mesh) -> Callable:
+    """Param-threaded variant of :func:`multi_hypothesis_imputation_sampler`:
+    ``run(params, keys [H], observation [B, D], mask [B, D]) -> [B, H, D]``,
+    jitted once across EMA updates (see
+    :func:`data_parallel_sampler_params`)."""
+    import jax.numpy as jnp
+
+    bshard = batch_sharding(mesh)
+
+    @jax.jit
+    def run(params, keys, observation, mask):
+        observation = jax.lax.with_sharding_constraint(observation, bshard)
+        mask = jax.lax.with_sharding_constraint(mask, bshard)
+        sampler = sampler_factory(params)
+        outs = jax.vmap(
+            lambda k: sampler(k, observation=observation, mask=mask)[1])(keys)
+        return jnp.swapaxes(outs, 0, 1)  # [B, H, D]
+
+    return run
+
+
 def pad_batch_to_multiple(batch: np.ndarray, multiple: int):
     """Pad dim 0 up to a multiple (repeating the last row) -> (padded, n).
 

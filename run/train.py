@@ -223,6 +223,34 @@ def main(args):
         return get_score_fn(sde, lambda x, t: model.apply({"params": eval_params}, x, t),
                             continuous=config.training.continuous)
 
+    # Eval programs — built and jitted ONCE, with the EMA params threaded as
+    # an explicit argument. The params change *value* every eval firing but
+    # never shape, so firings after the first reuse the compiled 1000-step
+    # sampler scans and the likelihood ODE instead of paying a full retrace
+    # (the reference rebuilds its eval objects per firing, ref train.py:263-312).
+    def _eval_sampler_factory(eval_params):
+        return sampling_lib.get_sampling_fn(
+            config, sde, sampling_shape, eval_score_fn_for(eval_params),
+            inverse_scaler=None, eps=sampling_eps, return_trajectory=True,
+            jit=False)
+
+    def _eval_imput_factory(eval_params):
+        return sampling_lib.get_sampling_fn(
+            config, sde, sampling_shape, eval_score_fn_for(eval_params),
+            inverse_scaler=None, eps=sampling_eps, imputation=True, jit=False)
+
+    eval_sampler = par.data_parallel_sampler_params(_eval_sampler_factory,
+                                                    mesh_local)
+    multi_imput_sampler = par.multi_hypothesis_imputation_sampler_params(
+        _eval_imput_factory, mesh_local)
+    hypo_num = 5
+
+    @jax.jit
+    def eval_likelihood(eval_params, k, poses):
+        return get_likelihood_fn(sde, eval_score_fn_for(eval_params),
+                                 rtol=1e-4, atol=1e-4, eps=1e-4,
+                                 jit=False)(k, poses)
+
     num_train_steps = config.training.n_iters
     metrics = {}
     best_APD = 0.0
@@ -275,7 +303,9 @@ def main(args):
             sub_losses = []
             for j in range(k_this):
                 batch = next(batches)
-                kj = jax.random.fold_in(k_step, j) if j else k_step
+                # fold_in for EVERY substep incl. j=0, matching the multi_step
+                # dispatch path's substep key convention exactly
+                kj = jax.random.fold_in(k_step, j)
                 state, loss_dict = sharded_step(
                     state, kj, par.shard_global_batch(mesh, batch))
                 sub_losses.append({k: float(v) for k, v in loss_dict.items()})
@@ -313,24 +343,11 @@ def main(args):
         # resuming from a non-K-aligned step, plain % == 0 could never fire
         if step % config.training.eval_freq < k_this:
             logger.info("start validating")
-            ema_params = state.ema.shadow_params
-            score_fn = eval_score_fn_for(ema_params)
-            likelihood_fn = get_likelihood_fn(sde, score_fn, rtol=1e-4, atol=1e-4,
-                                              eps=1e-4)
             # eval sampling is data-parallel over the mesh (batch sharded,
             # GSPMD partitions the reverse loop); hypotheses run under vmap
-            # instead of the reference's sequential loop (ref train.py:289-292)
-            sampler = par.data_parallel_sampler(
-                sampling_lib.get_sampling_fn(
-                    config, sde, sampling_shape, score_fn, inverse_scaler=None,
-                    eps=sampling_eps, return_trajectory=True, jit=False),
-                mesh_local)
-            imput_raw = sampling_lib.get_sampling_fn(
-                config, sde, sampling_shape, score_fn, inverse_scaler=None,
-                eps=sampling_eps, imputation=True, jit=False)
-            hypo_num = 5
-            multi_imput_sampler = par.multi_hypothesis_imputation_sampler(
-                imput_raw, mesh_local)
+            # instead of the reference's sequential loop (ref train.py:289-292);
+            # the jitted programs are shared across firings (built above)
+            ema_params = state.ema.shadow_params
 
             eval_metrics = {"bpd": [], "mpvpe_all": [], "mpjpe_body": []}
             all_samples = []
@@ -338,7 +355,7 @@ def main(args):
             for bi, poses in enumerate(test_dataset.eval_batches(config.eval.batch_size)):
                 poses = jnp.asarray(poses)
                 key, k1, k2, k3 = jax.random.split(key, 4)
-                bpd, z, nfe = likelihood_fn(k1, poses)
+                bpd, z, nfe = eval_likelihood(ema_params, k1, poses)
                 logger.info(f"Sample bpd: {float(bpd.mean())} with nfe: {int(nfe)}")
                 eval_metrics["bpd"].append(float(bpd.mean()))
 
@@ -346,7 +363,8 @@ def main(args):
                     mask, observation = create_mask(k2, poses, part="left_leg")
                     key, kh = jax.random.split(key)
                     multihypo = multi_imput_sampler(
-                        jax.random.split(kh, hypo_num), observation, mask)
+                        ema_params, jax.random.split(kh, hypo_num),
+                        observation, mask)
                     preds = denormalize(multihypo)
                     gts = denormalize(poses)
                     if config.data.rot_rep == "rot6d":
@@ -359,7 +377,7 @@ def main(args):
                     eval_metrics["mpjpe_body"].append(float(np.mean(res["mpjpe_body"])))
 
                 key, kg = jax.random.split(key)
-                trajs, samples = sampler(kg)
+                trajs, samples = eval_sampler(ema_params, kg)
                 all_samples.append(samples)
 
             for k, v in eval_metrics.items():

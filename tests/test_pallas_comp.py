@@ -39,6 +39,10 @@ def test_pallas_comp_matches_xla(setup, time_strategy):
     model, params, sde, score_fn, obs, mask = setup
     kw = dict(iterations=ITERS, steps_per_iter=SPI,
               time_strategy=time_strategy)
+    if time_strategy == "2":
+        # in-range fixed time (sde.N=500): exercises a representative
+        # timesteps gather, not the clamped default sample_time=900
+        kw["sample_time"] = 400
     noise = jax.random.normal(jax.random.PRNGKey(7), (ITERS * SPI, B, DIM))
     key = jax.random.PRNGKey(3)
 
