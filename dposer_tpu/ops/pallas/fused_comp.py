@@ -141,7 +141,7 @@ def get_pallas_comp_solver(sde: SDE, model: ScoreModelFC, params,
                            sample_trun: float = 5.0, sample_time: int = 900,
                            eps: float = 1e-3, rng_mode: str = "host",
                            interpret: bool = False, gn: str = "auto",
-                           continuous: bool = True,
+                           continuous: bool = True, mesh=None,
                            _ablate: frozenset = frozenset()):
     """Build the fused completion solver.
 
@@ -158,9 +158,20 @@ def get_pallas_comp_solver(sde: SDE, model: ScoreModelFC, params,
     the XLA solver's exact PRNG layout, so strategies '2'/'3' match it
     step-for-step; strategy '1' raises (random per hypothesis — use the
     XLA path).
+
+    ``mesh=`` (>1 devices) runs the kernel per-device under ``shard_map``
+    with rows sharded along the batch axis and the PRNG key decorrelated by
+    ``axis_index`` — the multi-chip form of ref run/completion.py:326-338,
+    keeping the single-device kernel's per-chip advantage over the GSPMD
+    XLA solver.
     """
     if rng_mode not in ("host", "kernel"):
         raise ValueError(f"rng_mode must be 'host' or 'kernel', got {rng_mode!r}")
+    if mesh is not None and mesh.devices.size > 1:
+        return _sharded_comp_solver(
+            sde, model, params, shape, n_elems, lr, iterations,
+            steps_per_iter, time_strategy, sample_trun, sample_time, eps,
+            rng_mode, interpret, gn, continuous, mesh, _ablate)
     if not continuous:
         raise NotImplementedError(
             "pallas completion solver folds the continuous-time score "
@@ -291,5 +302,54 @@ def get_pallas_comp_solver(sde: SDE, model: ScoreModelFC, params,
                 noise_p = noise_p.at[:, :batch, :dim].set(noise)
             out = call(coefs, obs_p, mask_p, *operands, noise_p)
         return out[:batch, :dim]
+
+    return solve
+
+
+def _sharded_comp_solver(sde, model, params, shape, n_elems, lr, iterations,
+                         steps_per_iter, time_strategy, sample_trun,
+                         sample_time, eps, rng_mode, interpret, gn,
+                         continuous, mesh, _ablate):
+    """shard_map the single-device completion kernel over the mesh's batch
+    shards (mirrors ``fused_em._sharded_sampler``)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.sharding import DATA_AXIS
+
+    batch, dim = shape
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"rows {batch} must be divisible by the mesh size "
+                         f"{n_dev} for the pallas sharded completion solver")
+    inner = get_pallas_comp_solver(
+        sde, model, params, (batch // n_dev, dim), n_elems, lr=lr,
+        iterations=iterations, steps_per_iter=steps_per_iter,
+        time_strategy=time_strategy, sample_trun=sample_trun,
+        sample_time=sample_time, eps=eps, rng_mode=rng_mode,
+        interpret=interpret, gn=gn, continuous=continuous, mesh=None,
+        _ablate=_ablate)
+    axis = DATA_AXIS
+    cache = {}
+
+    def build(has_noise):
+        def shard_fn(key, obs, msk, *maybe_noise):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            noise = maybe_noise[0] if maybe_noise else None
+            return inner(key, obs, msk, noise=noise)
+
+        specs = [P(), P(axis, None), P(axis, None)]
+        if has_noise:
+            specs.append(P(None, axis, None))
+        return jax.jit(jax.shard_map(shard_fn, mesh=mesh,
+                                     in_specs=tuple(specs),
+                                     out_specs=P(axis, None),
+                                     check_vma=False))
+
+    def solve(key, observation, mask, noise=None):
+        has_noise = noise is not None
+        if has_noise not in cache:
+            cache[has_noise] = build(has_noise)
+        args = (observation, mask) + ((noise,) if has_noise else ())
+        return cache[has_noise](key, *args)
 
     return solve

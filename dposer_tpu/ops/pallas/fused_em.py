@@ -456,3 +456,33 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
         return None, cache[sig](key, *arrs)
 
     return sampler
+
+
+def get_pallas_em_hypo_sampler(sde: SDE, model: ScoreModelFC, params,
+                               shape: Tuple[int, ...], hypo_num: int, **kw):
+    """Multi-hypothesis masked imputation in ONE kernel dispatch.
+
+    Hypotheses tile into rows of the batch-block grid (the same flattening
+    the fused completion solver uses for its hypo axis) instead of the
+    per-hypothesis dispatch loop — the reference runs hypotheses
+    sequentially (ref run/demo.py:359-362) and a dispatch on a tunneled
+    host costs ~25 ms of RPC latency each.
+
+    ``sampler(key, observation [B, D], mask [B, D], z=None, noise=None) ->
+    [B, H, D]``. Rows decorrelate naturally: the prior sample and the
+    kernel/host noise streams are drawn over the full ``H*B`` row space.
+    ``z``/``noise`` (tests) are accepted in tiled row space
+    (``[H*B, D]`` / ``[N, K, H*B, D]``).
+    """
+    batch, dim = shape
+    kw.setdefault("imputation", True)
+    inner = get_pallas_em_sampler(sde, model, params, (hypo_num * batch, dim),
+                                  **kw)
+
+    def sampler(key, observation, mask, z=None, noise=None):
+        obs_t = jnp.tile(observation, (hypo_num, 1))
+        mask_t = jnp.tile(mask, (hypo_num, 1))
+        _, out = inner(key, observation=obs_t, mask=mask_t, z=z, noise=noise)
+        return jnp.swapaxes(out.reshape(hypo_num, batch, dim), 0, 1)
+
+    return sampler

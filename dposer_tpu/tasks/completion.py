@@ -47,15 +47,15 @@ class DPoserComp:
         # backend="pallas": the ENTIRE Adam loop as one TPU kernel
         # (ops/pallas/fused_comp.py) — forward-only per step since the
         # reference detaches x0_hat. Needs the flax model+params (not just a
-        # score_fn closure) and a single device (mesh keeps the XLA path).
+        # score_fn closure). With mesh= (>1 devices) the kernel runs
+        # per-device under shard_map, rows batch-sharded (multi-chip form
+        # of ref run/completion.py:326-338).
         if backend not in ("xla", "pallas"):
             raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
-        if backend == "pallas" and mesh is not None:
-            raise ValueError("backend='pallas' is single-device; use the XLA "
-                             "backend with mesh=")
         if backend == "pallas" and (model is None or params is None):
             raise ValueError("backend='pallas' needs model= and params=")
         self.backend = backend
+        self._mesh = mesh
         self.continuous = continuous
         self._model, self._params = model, params
         self._interpret = interpret
@@ -137,7 +137,7 @@ class DPoserComp:
                 time_strategy=self.time_strategy,
                 sample_trun=self.sample_trun, sample_time=self.sample_time,
                 rng_mode=rng_mode, interpret=self._interpret,
-                continuous=self.continuous)
+                continuous=self.continuous, mesh=self._mesh)
         return self._pallas_cache[key]
 
     def optimize(self, key: jax.Array, observation: jnp.ndarray,

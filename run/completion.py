@@ -100,20 +100,25 @@ def main(args):
     n_dev = mesh.devices.size
     print(f"data-parallel over {n_dev} local device(s), "
           f"{jax.process_count()} process(es)")
-    # single TPU: the whole 2x100-step Adam loop runs as ONE Pallas kernel
-    # (ops/pallas/fused_comp.py); multi-device keeps the GSPMD XLA path
-    # (the reference's only real parallelism, ref completion.py:326-338)
+    # TPU: the whole 2x100-step Adam loop runs as ONE Pallas kernel per
+    # device (ops/pallas/fused_comp.py; multi-device via shard_map with rows
+    # batch-sharded — the multi-chip form of ref completion.py:326-338,
+    # keeping the kernel's per-chip advantage over the GSPMD XLA solver)
     compfn = None
-    if (n_dev == 1 and jax.default_backend() == "tpu"
+    if (jax.default_backend() == "tpu"
             and config.model.embedding_type == "positional"):
         try:
             compfn = DPoserComp(sde, score_fn, config.training.continuous,
-                                backend="pallas", model=model, params=params)
+                                backend="pallas", model=model, params=params,
+                                mesh=mesh if n_dev > 1 else None)
             dim = 63 if config.data.rot_rep == "axis" else 126
-            compfn.optimize_hypos(key, jnp.zeros((args.batch_size, dim)),
-                                  jnp.zeros((args.batch_size, dim)),
+            # probe at the PADDED batch size the loop actually uses
+            probe_b = ((args.batch_size + n_dev - 1) // n_dev) * n_dev
+            compfn.optimize_hypos(key, jnp.zeros((probe_b, dim)),
+                                  jnp.zeros((probe_b, dim)),
                                   args.hypo)  # compile probe
-            print("completion solver: fused Pallas kernel")
+            print(f"completion solver: fused Pallas kernel "
+                  f"({'shard_map x' + str(n_dev) if n_dev > 1 else '1 device'})")
         except Exception as e:  # noqa: BLE001 — any Mosaic/VMEM issue
             print(f"pallas completion solver unavailable ({e}); using XLA")
             compfn = None

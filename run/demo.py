@@ -221,12 +221,15 @@ def main(args):
             # (ref run/demo.py:306) unlike run.completion's '3'
             key, ko = jax.random.split(key)
             multihypo = None
-            if (mesh.devices.size == 1 and jax.default_backend() == "tpu"
+            n_dev = mesh.devices.size
+            rows_ok = (hypo_num * observation.shape[0]) % n_dev == 0
+            if (jax.default_backend() == "tpu" and (n_dev == 1 or rows_ok)
                     and config.model.embedding_type == "positional"):
-                try:  # whole Adam loop as one Pallas kernel
+                try:  # whole Adam loop as one Pallas kernel (per device)
                     compfn = DPoserComp(sde, score_fn, time_strategy="2",
                                         sample_time=900, backend="pallas",
-                                        model=model, params=params)
+                                        model=model, params=params,
+                                        mesh=mesh if n_dev > 1 else None)
                     multihypo = compfn.optimize_hypos(ko, observation, mask,
                                                       hypo_num)
                 except Exception as e:  # noqa: BLE001
@@ -239,26 +242,27 @@ def main(args):
         else:
             # ScoreSDE imputation inside the reverse sampler; hypotheses via
             # vmap (replaces the reference's sequential loop, ref demo.py:
-            # 359-362). Prefer the single-kernel Pallas path (one kernel per
-            # hypothesis, batch folded into the block grid); fall back to
-            # the XLA scan, data-parallel over the mesh.
+            # 359-362). Prefer the single-dispatch Pallas path — ALL
+            # hypotheses tile into rows of one kernel's batch-block grid;
+            # fall back to the XLA scan, data-parallel over the mesh.
             multihypo = None
             if pallas_eligible(("none",)):
                 try:
-                    from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
+                    from dposer_tpu.ops.pallas.fused_em import \
+                        get_pallas_em_hypo_sampler
 
-                    s = get_pallas_em_sampler(
-                        sde, model, params, observation.shape, eps=sampling_eps,
-                        denoise=config.sampling.noise_removal, imputation=True,
+                    hb = hypo_num * observation.shape[0]
+                    s = get_pallas_em_hypo_sampler(
+                        sde, model, params, observation.shape, hypo_num,
+                        eps=sampling_eps,
+                        denoise=config.sampling.noise_removal,
                         rng_mode="kernel",
-                        mesh=mesh if mesh.devices.size > 1 else None)
-                    outs = []
-                    for h in range(hypo_num):
-                        key, kh = jax.random.split(key)
-                        _, completion = s(kh, observation=observation, mask=mask)
-                        outs.append(completion)
-                    multihypo = jnp.stack(outs, axis=1)
-                    print("[sampler] pallas single-kernel imputation path")
+                        mesh=mesh if (mesh.devices.size > 1
+                                      and hb % mesh.devices.size == 0) else None)
+                    key, kh = jax.random.split(key)
+                    multihypo = s(kh, observation, mask)
+                    print("[sampler] pallas single-dispatch multi-hypothesis "
+                          "imputation path")
                 except Exception as e:
                     print(f"[sampler] pallas unavailable ({type(e).__name__}); "
                           f"using XLA scan")
