@@ -171,13 +171,24 @@ class AMASSDataset:
     def train_batches(self, batch_size: int, seed: int = 0,
                       drop_last: bool = True) -> Iterator[np.ndarray]:
         """Infinite shuffled epoch stream of pose batches [B, D]."""
+        for idx in self.train_index_batches(batch_size, seed, drop_last):
+            yield self.poses[idx]
+
+    def train_index_batches(self, batch_size: int, seed: int = 0,
+                            drop_last: bool = True) -> Iterator[np.ndarray]:
+        """The SAME shuffled stream as :meth:`train_batches`, but yielding
+        int32 row indices instead of gathered rows. Device-resident training
+        (run.train) ships these 4-byte indices to the chip and gathers from
+        the HBM-resident dataset there — the host->device traffic per step
+        drops by the pose width (63x) and the per-batch host gather
+        disappears."""
         rng = np.random.default_rng(seed)
         n = len(self.poses)
         while True:
             perm = rng.permutation(n)
             end = n - (n % batch_size) if drop_last else n
             for i in range(0, end, batch_size):
-                yield self.poses[perm[i:i + batch_size]]
+                yield perm[i:i + batch_size].astype(np.int32)
 
     def eval_batches(self, batch_size: int, drop_last: bool = True) -> Iterator[np.ndarray]:
         n = len(self.poses)

@@ -290,3 +290,29 @@ def multi_step(step_fn):
         return jax.lax.scan(body, state, (keys, batches))
 
     return fn
+
+
+def multi_step_indexed(step_fn, data):
+    """:func:`multi_step` over DEVICE-RESIDENT data: the scan consumes
+    ``[K, B]`` int32 row indices and gathers each substep's batch from
+    ``data`` ([N, D], already on the mesh) inside the program.
+
+    TPU-native data path: the host ships 4 bytes/row instead of the row
+    itself (63-256x less host->device traffic per dispatch — the reference
+    re-uploads every batch, and at 400k x 1280 steps that is ~129 GB for a
+    250 MB dataset). Gathered values are bit-identical to the host stream
+    (``AMASSDataset.train_index_batches`` yields the same permutation).
+    """
+    import jax
+
+    def fn(state, key, idx):
+        keys = jax.vmap(lambda j: jax.random.fold_in(key, j))(
+            jnp.arange(idx.shape[0]))
+
+        def body(carry, inp):
+            k, rows = inp
+            return step_fn(carry, k, data[rows])
+
+        return jax.lax.scan(body, state, (keys, idx))
+
+    return fn

@@ -67,11 +67,18 @@ def _initial_step(func: Callable, t0, y0, f0, direction, order, rtol, atol):
 def rk45(func: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
          t0: float, t1: float, y0: jnp.ndarray,
          rtol: float = 1e-5, atol: float = 1e-5,
-         max_steps: int = 2000) -> ODEResult:
+         max_steps: int = 100_000) -> ODEResult:
     """Integrate ``dy/dt = func(t, y)`` from t0 to t1 (either direction).
 
     ``y0`` may be any shape; the error norm is taken over all elements
     (matching the reference's flattened-state scipy usage).
+
+    ``status`` is 1 if ``max_steps`` was exhausted before reaching ``t1``
+    (the returned ``y`` is then the truncated state — callers must check).
+    The default is sized so protocol tolerances never hit it: at rtol 1e-6
+    an untrained-model PF-ODE already needs ~2,000+ accepted steps, and the
+    round-2 default of 2,000 silently truncated exactly there (found by the
+    fixed-grid RK4 path disagreeing with a scipy oracle at tight rtol).
     """
     y0 = jnp.asarray(y0)
     t0 = jnp.asarray(t0, y0.dtype)
@@ -94,8 +101,11 @@ def rk45(func: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         return (~s.done) & (s.steps < max_steps)
 
     def body(s: State):
-        # clamp step to not overshoot t1
-        h = jnp.minimum(s.h, jnp.abs(t1 - s.t))
+        # clamp step to not overshoot t1; when the clamp engages this is
+        # the final step (exact comparison — h is set to the remainder)
+        remainder = jnp.abs(t1 - s.t)
+        h = jnp.minimum(s.h, remainder)
+        is_last = h >= remainder
         h_signed = h * direction
 
         ks = [s.f]
@@ -119,10 +129,15 @@ def rk45(func: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         factor = jnp.where(accept, factor, jnp.minimum(factor, 1.0))
         h_next = h * factor
 
+        # land exactly on t1 when the last (clamped) step is accepted: the
+        # fp32 ``s.t + (t1 - s.t)`` need not equal t1 bitwise, and a
+        # magnitude test against the rounding residue either inches toward
+        # t1 in wasted micro-steps or never terminates
+        t_new = jnp.where(is_last, t1, t_new)
         t_out = jnp.where(accept, t_new, s.t)
         y_out = jnp.where(accept, y_new, s.y)
         f_out = jnp.where(accept, f_new, s.f)
-        done = accept & (jnp.abs(t1 - t_new) <= 1e-12)
+        done = accept & is_last
         return State(t=t_out, y=y_out, f=f_out, h=h_next,
                      nfe=s.nfe + 6, steps=s.steps + 1, done=done)
 

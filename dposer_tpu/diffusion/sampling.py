@@ -328,7 +328,7 @@ def get_ode_sampler(sde: SDE, shape: Tuple[int, ...], score_fn: Callable,
         else:
             x = z
         sol = ode_lib.rk45(drift_fn, sde.T, eps, x, rtol=rtol, atol=atol)
-        x = sol.y
+        x = jnp.where(sol.status == 0, sol.y, jnp.nan)  # fail loudly on truncation
         if denoise:
             # one reverse-diffusion predictor step without noise (ref :492-498)
             vec_eps = jnp.full((x.shape[0],), eps, x.dtype)

@@ -36,7 +36,7 @@ def build_lib(force: bool = False) -> str:
     srcs = [os.path.join(_SRC_DIR, n) for n in sorted(os.listdir(_SRC_DIR))
             if n.endswith(".cpp")]
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", lib_path + ".tmp", *srcs]
+           "-pthread", "-o", lib_path + ".tmp", *srcs]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     os.replace(lib_path + ".tmp", lib_path)
     return lib_path
@@ -53,6 +53,11 @@ def _get_lib() -> ctypes.CDLL:
         lib.self_intersections_percentage.argtypes = [
             f32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, f32p]
         lib.self_intersections_percentage.restype = None
+
+        lib.self_intersections_percentage_mt.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, f32p,
+            ctypes.c_int]
+        lib.self_intersections_percentage_mt.restype = None
 
         lib.tri_tri_test.argtypes = [f32p, f32p]
         lib.tri_tri_test.restype = ctypes.c_int
@@ -71,7 +76,10 @@ class mesh_si:
     """Namespace matching ``dposer_tpu.ops.metrics`` expectations."""
 
     @staticmethod
-    def self_intersections_percentage(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    def self_intersections_percentage(vertices: np.ndarray, faces: np.ndarray,
+                                      n_threads: int = 0) -> np.ndarray:
+        """Per-mesh %% of self-intersecting faces. ``n_threads`` 0 = all
+        hardware threads (meshes are independent; per-thread scratch)."""
         lib = _get_lib()
         vertices = np.ascontiguousarray(vertices, np.float32)
         faces = np.ascontiguousarray(faces, np.int32)
@@ -79,8 +87,8 @@ class mesh_si:
             vertices = vertices[None]
         n_batch, n_verts, _ = vertices.shape
         out = np.zeros(n_batch, np.float32)
-        lib.self_intersections_percentage(vertices, n_batch, n_verts, faces,
-                                          len(faces), out)
+        lib.self_intersections_percentage_mt(vertices, n_batch, n_verts, faces,
+                                             len(faces), out, n_threads)
         return out
 
     @staticmethod

@@ -5,8 +5,10 @@
 // Broad phase: uniform grid over the mesh AABB with per-cell face lists;
 // narrow phase: Möller tri-tri. C API for ctypes.
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 #include "tri_tri.h"
@@ -135,16 +137,45 @@ int self_intersecting_faces(const float *verts, int n_verts, const int32_t *face
 extern "C" {
 
 // verts: [n_batch, n_verts, 3] float32; faces: [n_faces, 3] int32;
-// out: [n_batch] float32 percentages.
+// out: [n_batch] float32 percentages. Meshes are independent -> threaded
+// over the batch (n_threads <= 0: hardware_concurrency). The protocol tail
+// (500 SMPL meshes, ref run/demo.py:137-161) is otherwise serial host work.
+void self_intersections_percentage_mt(const float *verts, int n_batch,
+                                      int n_verts, const int32_t *faces,
+                                      int n_faces, float *out,
+                                      int n_threads) {
+  if (n_threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    n_threads = hc ? (int)hc : 1;
+  }
+  n_threads = std::min(n_threads, std::max(n_batch, 1));
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> flags(n_faces);  // per-thread scratch
+    for (;;) {
+      const int b = next.fetch_add(1);
+      if (b >= n_batch) return;
+      const int si = self_intersecting_faces(verts + (size_t)b * n_verts * 3,
+                                             n_verts, faces, n_faces,
+                                             flags.data());
+      out[b] = n_faces ? 100.0f * si / n_faces : 0.0f;
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto &th : pool) th.join();
+}
+
 void self_intersections_percentage(const float *verts, int n_batch, int n_verts,
                                    const int32_t *faces, int n_faces,
                                    float *out) {
-  std::vector<uint8_t> flags(n_faces);
-  for (int b = 0; b < n_batch; ++b) {
-    const int si = self_intersecting_faces(verts + (size_t)b * n_verts * 3,
-                                           n_verts, faces, n_faces, flags.data());
-    out[b] = n_faces ? 100.0f * si / n_faces : 0.0f;
-  }
+  self_intersections_percentage_mt(verts, n_batch, n_verts, faces, n_faces,
+                                   out, 0);
 }
 
 // Exposed for unit tests: 1 if the two triangles intersect.

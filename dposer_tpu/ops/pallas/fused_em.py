@@ -218,8 +218,13 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           corrector: str = "none", snr: float = 0.16,
                           n_corrector_steps: int = 1, imputation: bool = False,
                           mesh=None, gn: str = "auto",
+                          probability_flow: bool = False,
                           _ablate: frozenset = frozenset()):
     """Build the single-kernel PC sampler.
+
+    ``probability_flow=True`` runs the deterministic PF-ODE Euler update
+    (score term halved, noise coefficient zero — the interpolation
+    protocol's decode, ref demo.py:439-447) through the same kernel.
 
     ``sampler(key, observation=None, mask=None, z=None, noise=None) ->
     (None, x)``. Weight/table precomputation happens once at build time
@@ -244,7 +249,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         return _sharded_sampler(sde, model, params, shape, eps, denoise,
                                 interpret, rng_mode, batch_block, corrector,
                                 snr, n_corrector_steps, imputation, mesh,
-                                gn, _ablate)
+                                gn, probability_flow, _ablate)
 
     kernel_rng = rng_mode == "kernel"
     # VMEM budget guard: weights (bf16) + x/noise/tp buffers + ~3 live
@@ -277,7 +282,8 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
 
     timesteps = sde.timesteps(eps)
     labels = _labels_for(sde, timesteps)
-    cx, cout, cnoise = _em_tables(sde, timesteps)
+    cx, cout, cnoise = _em_tables(sde, timesteps,
+                                  probability_flow=probability_flow)
     net = build_network_operands(model, params, dim, dim_p, labels, gn=gn)
     out_scale = net["out_scale"]
     score_scale, alpha = _corrector_tables(sde, timesteps, out_scale)
@@ -387,7 +393,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
 
 def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
                      rng_mode, batch_block, corrector, snr, n_corrector_steps,
-                     imputation, mesh, gn, _ablate):
+                     imputation, mesh, gn, probability_flow, _ablate):
     """shard_map the single-device kernel over the mesh's batch shards."""
     from jax.sharding import PartitionSpec as P
 
@@ -403,7 +409,8 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
         sde, model, params, (shard_batch_n, dim), eps=eps, denoise=denoise,
         interpret=interpret, rng_mode=rng_mode, batch_block=batch_block,
         corrector=corrector, snr=snr, n_corrector_steps=n_corrector_steps,
-        imputation=imputation, mesh=None, gn=gn, _ablate=_ablate)
+        imputation=imputation, mesh=None, gn=gn,
+        probability_flow=probability_flow, _ablate=_ablate)
     axis = DATA_AXIS
     cache = {}
 

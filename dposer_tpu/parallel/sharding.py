@@ -123,6 +123,18 @@ def data_parallel_multi_step(multi_step_fn: Callable, mesh: Mesh) -> Callable:
                    out_shardings=(repl, repl))
 
 
+def data_parallel_multi_step_indexed(multi_step_fn: Callable, mesh: Mesh) -> Callable:
+    """Device-resident-data variant: ``fn(state, key, idx [K, B])`` with the
+    batch dim of the int32 index array sharded; the dataset itself is a
+    closed-over replicated device array (see ``losses.multi_step_indexed``).
+    Index staging reuses :func:`shard_global_multi_batch` (it is
+    shape-agnostic over trailing dims)."""
+    repl = replicate(mesh)
+    return jax.jit(multi_step_fn,
+                   in_shardings=(repl, repl, NamedSharding(mesh, P(None, DATA_AXIS))),
+                   out_shardings=(repl, repl))
+
+
 def data_parallel_sampler(sampler: Callable, mesh: Mesh) -> Callable:
     """Compile a built sampler data-parallel over the mesh (jitted ONCE).
 

@@ -38,8 +38,9 @@ class MotionDenoise:
 
     def __init__(self, sde: SDE, score_fn: Callable, body_model,
                  normalizer, dposer_weight: float = 1.0,
-                 batch_size: int = 60, lr: float = 0.03):
+                 batch_size: int = 60, lr: float = 0.03, mesh=None):
         self.sde = sde
+        self.mesh = mesh  # fragment-dim GSPMD for optimize_batch (optional)
         self.prior = DPoserPrior(sde, score_fn)
         self.body_model = body_model
         self.normalizer = normalizer
@@ -127,7 +128,30 @@ class MotionDenoise:
                 poses0 = 0.01 * jax.random.normal(k_init, (T, 63))
                 return run(k, poses0, jax.lax.stop_gradient(joints))
 
-            self._run_cache[vkey] = jax.jit(jax.vmap(one))
+            batched = jax.vmap(one)
+            if self.mesh is not None:
+                # fragment axis sharded over the mesh: a directory eval then
+                # uses ALL local chips (beyond-reference; constraint-based so
+                # the ragged final chunk still runs)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.sharding import DATA_AXIS
+
+                mesh = self.mesh
+
+                def constrain(a):
+                    spec = P(DATA_AXIS, *([None] * (a.ndim - 1)))
+                    return jax.lax.with_sharding_constraint(
+                        a, NamedSharding(mesh, spec))
+
+                inner_batched = batched
+
+                def sharded(ks, joints):
+                    out = inner_batched(constrain(ks), constrain(joints))
+                    return constrain(out)
+
+                batched = sharded
+            self._run_cache[vkey] = jax.jit(batched)
         return self._run_cache[vkey](keys, joints3d)
 
     def optimize(self, key: jax.Array, joints3d: jnp.ndarray,

@@ -58,8 +58,9 @@ class SMPLify:
     def __init__(self, body_model, pose_prior: Optional[DPoser] = None,
                  step_size: float = 1e-2, batch_size: int = 32,
                  num_iters: int = 100, focal_length=5000.0,
-                 time_strategy: str = "3", sde_N: int = 500):
+                 time_strategy: str = "3", sde_N: int = 500, mesh=None):
         self.smpl = body_model
+        self.mesh = mesh  # batch-dim GSPMD over a device mesh (optional)
         self.pose_prior = pose_prior
         self.step_size = step_size
         self.num_iters = num_iters
@@ -82,9 +83,33 @@ class SMPLify:
         self._run_stage1 = jax.jit(self._stage1_impl)
         self._run_stage2 = jax.jit(self._stage2_impl)
 
+    def _shard_batch(self, tree):
+        """Constrain every array's leading (image) axis to the mesh's data
+        axis so GSPMD partitions the whole fitting loop — batched directory
+        evals then use ALL local chips instead of one (beyond-reference;
+        constraint-based so ragged final chunks still run)."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import DATA_AXIS
+
+        def constrain(a):
+            if getattr(a, "ndim", 0) < 1:
+                return a
+            spec = P(DATA_AXIS, *([None] * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(constrain, tree)
+
     # ------------------------------------------------------------------
     def _stage1_impl(self, go, cam_t, betas, body_pose, init_cam_t,
                      camera_center, joints_2d, joints_conf):
+        (go, cam_t, betas, body_pose, init_cam_t, camera_center, joints_2d,
+         joints_conf) = self._shard_batch(
+            (go, cam_t, betas, body_pose, init_cam_t, camera_center,
+             joints_2d, joints_conf))
         opt1 = optax.adam(self.step_size, b1=0.9, b2=0.999)
 
         def cam_loss(var):
@@ -110,6 +135,9 @@ class SMPLify:
 
     def _stage2_impl(self, key, bp, bt, go, camera_translation, camera_center,
                      joints_2d, conf):
+        (bp, bt, go, camera_translation, camera_center, joints_2d, conf) = \
+            self._shard_batch((bp, bt, go, camera_translation, camera_center,
+                               joints_2d, conf))
         opt2 = optax.adam(self.step_size, b1=0.9, b2=0.999)
         total_steps = self.stages * self.num_iters
 

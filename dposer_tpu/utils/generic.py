@@ -36,7 +36,8 @@ def import_configs(config_path: str):
 
 
 class MetricWriter:
-    """TensorBoard scalar writer with graceful fallback to JSONL."""
+    """TensorBoard scalar writer; ALWAYS mirrors scalars to a plain
+    ``metrics.jsonl`` (greppable run artifact, survives without TB tooling)."""
 
     def __init__(self, logdir: str):
         self._tb = None
@@ -45,21 +46,20 @@ class MetricWriter:
 
             self._tb = SummaryWriter(logdir)
         except Exception:
-            os.makedirs(logdir, exist_ok=True)
-            self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+            pass
+        os.makedirs(logdir, exist_ok=True)
+        self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
 
     def add_scalar(self, tag: str, value, step: int):
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), step)
-        else:
-            import json
+        import json
 
-            self._jsonl.write(json.dumps({"tag": tag, "value": float(value),
-                                          "step": int(step)}) + "\n")
-            self._jsonl.flush()
+        self._jsonl.write(json.dumps({"tag": tag, "value": float(value),
+                                      "step": int(step)}) + "\n")
+        self._jsonl.flush()
 
     def close(self):
         if self._tb is not None:
             self._tb.close()
-        else:
-            self._jsonl.close()
+        self._jsonl.close()

@@ -54,6 +54,10 @@ def parse_args(argv):
     parser.add_argument("--output-path", type=str, default="./output/test_results")
     parser.add_argument("--device", type=str, default=None, help="unused (JAX backend)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--adaptive-ode", action="store_true",
+                        help="interpolation: force the adaptive RK45 "
+                             "encode/decode (accuracy oracle) instead of "
+                             "the tabled fixed-grid fast paths")
     return parser.parse_args(argv[1:])
 
 
@@ -299,7 +303,21 @@ def main(args):
         anchor_num = anchor_poses.shape[0]
 
         anchor_normed = normalizer.offline_normalize(anchor_poses, from_axis=True)
-        likelihood_fn = get_likelihood_fn(sde, score_fn, rtol=1e-4, atol=1e-4, eps=1e-4)
+        # encode: fixed-grid tabled RK4 likelihood (fast path; adaptive RK45
+        # is the oracle, forced by --adaptive-ode or non-positional temb)
+        likelihood_fn = None
+        if not args.adaptive_ode and config.model.embedding_type == "positional":
+            try:
+                from dposer_tpu.diffusion.likelihood import get_fast_likelihood_fn
+
+                likelihood_fn = get_fast_likelihood_fn(sde, model, params,
+                                                       n_steps=250, eps=1e-4)
+                print("[ode] tabled fixed-grid RK4 encode")
+            except NotImplementedError as e:
+                print(f"[ode] fast encode unavailable ({e}); adaptive RK45")
+        if likelihood_fn is None:
+            likelihood_fn = get_likelihood_fn(sde, score_fn, rtol=1e-4,
+                                              atol=1e-4, eps=1e-4)
         key, kl = jax.random.split(key)
         _, anchor_z, _ = likelihood_fn(kl, anchor_normed)
 
@@ -309,16 +327,43 @@ def main(args):
         config.sampling.predictor = "euler_maruyama"
         config.sampling.corrector = "none"
         eps = 1e-5
-        shape = (anchor_num, N_POSES * POSE_DIM)
-        det_sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
-                                                   inverse_scaler=None, eps=eps)
+
+        def build_decoder(shape):
+            """PF-Euler decode: fused Pallas kernel on TPU, tabled XLA scan
+            off-TPU, generic scan as last resort / --adaptive-ode."""
+            if not args.adaptive_ode and pallas_eligible(("none",)):
+                try:
+                    if jax.default_backend() == "tpu":
+                        from dposer_tpu.ops.pallas.fused_em import \
+                            get_pallas_em_sampler
+
+                        s = get_pallas_em_sampler(
+                            sde, model, params, shape, eps=eps,
+                            denoise=config.sampling.noise_removal,
+                            probability_flow=True, rng_mode="kernel")
+                        s(jax.random.PRNGKey(0))  # compile probe
+                        print("[ode] pallas single-kernel PF-Euler decode")
+                        return s
+                    from dposer_tpu.diffusion.fast_sampler import \
+                        get_fast_pc_sampler
+
+                    print("[ode] tabled PF-Euler decode")
+                    return get_fast_pc_sampler(
+                        sde, model, params, shape, eps=eps,
+                        denoise=config.sampling.noise_removal,
+                        probability_flow=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"[ode] fast decode unavailable "
+                          f"({type(e).__name__}); generic scan")
+            return sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
+                                                inverse_scaler=None, eps=eps)
+
+        det_sampler = build_decoder((anchor_num, N_POSES * POSE_DIM))
         _, recon = det_sampler(jax.random.PRNGKey(0), z=anchor_z)
         recon_err = float(jnp.abs(recon - anchor_normed).mean())
         print(f"reconstruction mean abs err (normalized space): {recon_err:.4f}")
 
-        shape = (inter_frames, N_POSES * POSE_DIM)
-        det_sampler = sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
-                                                   inverse_scaler=None, eps=eps)
+        det_sampler = build_decoder((inter_frames, N_POSES * POSE_DIM))
         inter_body_model = make_body_model(inter_frames)
         all_renders = []
         for idx in range(anchor_num - 1):

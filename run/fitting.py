@@ -73,6 +73,15 @@ def main(args):
     items = list(zip(img_paths, json_paths, gt_ply_paths))
     priors, fitters = {}, {}
 
+    # multi-chip: the image axis shards over the local mesh (each chip fits
+    # its images; the reference has no parallelism here)
+    from dposer_tpu import parallel as par
+
+    mesh = par.make_mesh(local=True)
+    fit_mesh = mesh if mesh.devices.size > 1 else None
+    if fit_mesh is not None:
+        print(f"batched images data-parallel over {mesh.devices.size} devices")
+
     for c0 in range(0, len(items), args.batch_images):
         chunk = items[c0:c0 + args.batch_images]
         B = len(chunk)
@@ -122,7 +131,7 @@ def main(args):
                                     batch_size=B, num_iters=100,
                                     focal_length=fkey[0],
                                     time_strategy=args.time_strategy,
-                                    sde_N=args.sde_N)
+                                    sde_N=args.sde_N, mesh=fit_mesh)
         key, kf = jax.random.split(key)
         results = fitters[fkey](kf, smpl_poses, init_betas, init_cam_t,
                                 camera_center, keypoints49)

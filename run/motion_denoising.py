@@ -140,12 +140,22 @@ def main(args):
     for i, seq in enumerate(seqs):
         by_len.setdefault(gts[seq].shape[0], []).append((i, seq))
 
+    # multi-chip: the fragment axis shards over the local mesh (each chip
+    # optimizes its fragments; the reference has no parallelism here)
+    from dposer_tpu import parallel as par
+
+    mesh = par.make_mesh(local=True)
+    md_mesh = mesh if mesh.devices.size > 1 else None
+    if md_mesh is not None:
+        print(f"batched fragments data-parallel over {mesh.devices.size} devices")
+
     results_by_seq = {}
     for T, group in sorted(by_len.items()):
         body_model = BodyModel(bm_path=args.bodymodel_path, model_type="smplx",
                                batch_size=T, num_betas=10)
         md = MotionDenoise(sde, score_fn, body_model, normalizer,
-                           dposer_weight=dposer_weight, batch_size=T)
+                           dposer_weight=dposer_weight, batch_size=T,
+                           mesh=md_mesh)
         for c0 in range(0, len(group), args.batch_fragments):
             chunk = group[c0:c0 + args.batch_fragments]
             noisy, opt_keys, gt_stack = [], [], []

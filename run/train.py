@@ -54,6 +54,10 @@ def parse_args(argv):
                         help="capture a device trace of steps 10-20 into this "
                              "directory (TensorBoard profile plugin; new "
                              "capability — the reference has no profiling)")
+    parser.add_argument("--host-data", action="store_true",
+                        help="force per-dispatch batch uploads instead of "
+                             "the HBM-resident dataset + index-window path "
+                             "(auto-selected when the train tensor fits)")
     parser.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="train steps scanned per device dispatch "
                              "(amortizes the ~25 ms per-dispatch RPC overhead "
@@ -212,9 +216,25 @@ def main(args):
                 f"--steps-per-dispatch={K} > {name}={freq}: {name} events "
                 f"fire once per dispatch (every {K} steps), not every {freq}")
     sharded_step = par.data_parallel_step(train_step, mesh)
+    # Device-resident data path: when the (normalized) train tensor fits in
+    # HBM, it is uploaded ONCE and each dispatch ships only a [K, B] int32
+    # index window (the same shuffled stream) — 63x less host->device
+    # traffic per step and no per-batch host gather. The reference
+    # re-uploads every batch from its DataLoader (ref train.py:245-247).
+    device_data = (K > 1 and not args.host_data
+                   and train_dataset.poses.nbytes <= 2 << 30)
     if K > 1:
-        sharded_multi = par.data_parallel_multi_step(
-            losses_lib.multi_step(train_step), mesh)
+        if device_data:
+            data_dev = jax.device_put(jnp.asarray(train_dataset.poses),
+                                      par.replicate(mesh))
+            sharded_multi = par.data_parallel_multi_step_indexed(
+                losses_lib.multi_step_indexed(train_step, data_dev), mesh)
+            logger.info(f"train data device-resident "
+                        f"({train_dataset.poses.nbytes / 2**20:.0f} MiB, "
+                        f"index-window dispatches)")
+        else:
+            sharded_multi = par.data_parallel_multi_step(
+                losses_lib.multi_step(train_step), mesh)
     logger.info(f"data-parallel over {n_dev} device(s) / "
                 f"{jax.process_count()} process(es), {K} step(s)/dispatch: "
                 f"{mesh.devices.ravel()[:4]}...")
@@ -255,7 +275,10 @@ def main(args):
     metrics = {}
     best_APD = 0.0
     step = int(state.step)
-    batches = train_dataset.train_batches(config.training.batch_size, seed=args.seed)
+    # ONE index stream feeds both dispatch modes (and the single-step tail):
+    # the gathered values are identical either way
+    idx_stream = train_dataset.train_index_batches(config.training.batch_size,
+                                                   seed=args.seed)
 
     # graceful-preemption checkpointing (new capability; the reference
     # swallows all failures, ref train.py:406-410). On SIGTERM/SIGINT the
@@ -286,6 +309,22 @@ def main(args):
     local_step = 0  # steps taken by THIS process run (robust under resume)
     trace_active = False
     trace_done = False
+
+    def stage_window():
+        """Assemble the next K-step window and START its (async)
+        host->device transfer — called right after a dispatch is enqueued,
+        so the upload overlaps device compute instead of serializing with
+        it. Device-resident mode stages a [K, B] int32 index window
+        (~0.3 MB at K=64/B=1280); host mode stages the gathered rows
+        (~20 MB)."""
+        if device_data:
+            stack = np.stack([next(idx_stream) for _ in range(K)])
+        else:
+            stack = np.stack([train_dataset.poses[next(idx_stream)]
+                              for _ in range(K)])
+        return par.shard_global_multi_batch(mesh, stack)
+
+    staged = stage_window() if K > 1 else None
     while step < num_train_steps and not stop_requested["flag"]:
         key, k_step = jax.random.split(key)
         if args.profile_dir and not trace_active and not trace_done \
@@ -294,15 +333,18 @@ def main(args):
             trace_active = True
         k_this = min(K, num_train_steps - step)
         if k_this == K and K > 1:
-            stack = np.stack([np.asarray(next(batches)) for _ in range(K)])
-            state, loss_dicts = sharded_multi(
-                state, k_step, par.shard_global_multi_batch(mesh, stack))
-            sub_losses = [{k: float(v[j]) for k, v in loss_dicts.items()}
+            state, loss_dicts = sharded_multi(state, k_step, staged)
+            staged = stage_window()  # overlap next upload with this dispatch
+            # ONE device->host transfer for the whole window: per-element
+            # float() would pay a ~25 ms RPC per read on a tunneled chip
+            # (128 reads/dispatch at K=64 — measured 10x slower end-to-end)
+            loss_np = jax.device_get(loss_dicts)
+            sub_losses = [{k: float(v[j]) for k, v in loss_np.items()}
                           for j in range(K)]
         else:  # K == 1, or the final partial window: single-step dispatches
             sub_losses = []
             for j in range(k_this):
-                batch = next(batches)
+                batch = train_dataset.poses[next(idx_stream)]
                 # fold_in for EVERY substep incl. j=0, matching the multi_step
                 # dispatch path's substep key convention exactly
                 kj = jax.random.fold_in(k_step, j)

@@ -125,6 +125,20 @@ def test_demo_completion2(workdir):
     assert "MPJPE" in out
 
 
+def test_demo_interpolation(workdir):
+    """latent encode (fast RK4 likelihood) -> slerp -> PF-Euler decode."""
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "interpolation",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--file-path", workdir["toy"],
+        "--output-path", workdir["out"]])
+    assert "reconstruction mean abs err" in out
+    assert "Interpolation outputs under" in out
+
+
 def test_demo_completion_optimization(workdir):
     out = run_cli([
         "run.demo", "--config", workdir["config"],

@@ -123,3 +123,16 @@ def _numpy_raster(verts, faces):
         return V.rasterize_mesh(verts, faces, 64, 64, (80.0, 80.0), (32.0, 32.0))
     finally:
         N.raster = real_raster
+
+
+def test_si_multithreaded_matches_single():
+    """Threaded batch SI == single-thread (per-thread scratch, no races)."""
+    from dposer_tpu.native import mesh_si
+
+    rng = np.random.default_rng(5)
+    verts = rng.normal(size=(6, 60, 3)).astype(np.float32)
+    faces = rng.integers(0, 60, size=(100, 3)).astype(np.int32)
+    a = mesh_si.self_intersections_percentage(verts, faces, n_threads=1)
+    b = mesh_si.self_intersections_percentage(verts, faces, n_threads=4)
+    np.testing.assert_array_equal(a, b)
+    assert (a > 0).any()  # random soup certainly self-intersects

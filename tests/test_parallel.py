@@ -281,3 +281,34 @@ def test_data_parallel_multi_step_sharded():
     # 8-way gradient psum reassociates fp math vs the unsharded run
     np.testing.assert_allclose(np.asarray(lds["step_loss"]),
                                np.asarray(lds_ref["step_loss"]), rtol=1e-3)
+
+
+def test_multi_step_indexed_matches_multi_step():
+    """Device-resident data + [K, B] index windows must reproduce the
+    host-batch multi_step exactly (same rows, same substep keys) — the
+    run.train index-window dispatch path, sharded over the mesh."""
+    from dposer_tpu.diffusion.losses import multi_step, multi_step_indexed
+
+    _, _, state0, step_fn = _setup()
+    key = jax.random.PRNGKey(5)
+    data = jax.random.normal(jax.random.PRNGKey(8), (200, DIM))
+    idx = jax.random.randint(jax.random.PRNGKey(9), (4, 32), 0, 200)
+    batches = data[idx]
+
+    state_a, losses_a = jax.jit(multi_step(step_fn))(state0, key, batches)
+
+    mesh = par.make_mesh()
+    data_dev = jax.device_put(data, par.replicate(mesh))
+    fused = par.data_parallel_multi_step_indexed(
+        multi_step_indexed(step_fn, data_dev), mesh)
+    state_b, losses_b = fused(state0, key, par.shard_global_multi_batch(mesh, idx))
+
+    # same rows & keys; GSPMD partitioning reorders reductions -> tiny drift
+    np.testing.assert_allclose(np.asarray(losses_b["step_loss"]),
+                               np.asarray(losses_a["step_loss"]), rtol=3e-5)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(state_a.params),
+                               jax.tree_util.tree_leaves_with_path(state_b.params)):
+        # wiring is pinned by the loss equality above; Adam's m/sqrt(v)
+        # ratio amplifies GSPMD reduction-order drift on near-zero biases
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
+                                   atol=1e-4, err_msg=str(pa))
