@@ -273,6 +273,7 @@ def main(args):
 
     num_train_steps = config.training.n_iters
     metrics = {}
+    metrics_n = 0  # substeps accumulated in the current logging window
     best_APD = 0.0
     step = int(state.step)
     # ONE index stream feeds both dispatch modes (and the single-step tail):
@@ -367,12 +368,17 @@ def main(args):
             s_j = prev_step + j + 1
             for k, v in loss_dict.items():
                 metrics[k] = metrics.get(k, 0.0) + v
+            metrics_n += 1
             if s_j % config.training.log_freq == 0:
                 msg = f"Iter: [{s_j}/{num_train_steps}, {s_j / num_train_steps * 100:.2f}%],\t"
+                # divide by the substeps actually accumulated: after a resume
+                # from a non-aligned step the first window is partial, and
+                # /log_freq would understate the loss (0.17 -> 0.06 seen)
                 for k in list(metrics):
-                    writer.add_scalar(k, metrics[k] / config.training.log_freq, s_j)
-                    msg += f"{k}: {metrics[k] / config.training.log_freq:.6f},\t"
+                    writer.add_scalar(k, metrics[k] / metrics_n, s_j)
+                    msg += f"{k}: {metrics[k] / metrics_n:.6f},\t"
                     metrics[k] = 0.0
+                metrics_n = 0
                 if timer.steps_per_sec:
                     # per-dispatch EMA x nominal window (the one partial
                     # tail window would misscale the full-dispatch EMA)
