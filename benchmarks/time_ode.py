@@ -64,6 +64,17 @@ def main():
     rows.append(("PF-ODE fixed-grid RK4 (125 steps, tabled)", t,
                  f"{BATCH / t:,.0f} poses/s"))
 
+    try:
+        from dposer_tpu.ops.pallas.fused_ode import get_pallas_ode_sampler
+
+        pal_rk4 = get_pallas_ode_sampler(sde, model, params, (BATCH, DIM),
+                                         n_steps=125, eps=1e-3, denoise=False)
+        t = steady(pal_rk4, (key,))
+        rows.append(("PF-ODE RK4, Pallas kernel (125 steps)", t,
+                     f"{BATCH / t:,.0f} poses/s"))
+    except Exception as e:  # noqa: BLE001
+        rows.append(("PF-ODE RK4, Pallas kernel", float("nan"), str(e)))
+
     fast_pf = get_fast_pc_sampler(sde, model, params, (BATCH, DIM), eps=1e-5,
                                   denoise=True, probability_flow=True)
     t = steady(fast_pf, (key,))

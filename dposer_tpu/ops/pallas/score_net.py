@@ -224,10 +224,13 @@ def bind_fwd(n_blocks: int, hidden: int, gn_vpu: bool, ablate: frozenset,
 
     act = (lambda v: v) if "silu" in ablate else silu
 
-    def fwd(x, slot):
+    def fwd(x, slot, row0=0):
+        # ``row0`` selects a stage block inside the slab (multi-stage
+        # integrators stream several time points per step, e.g. the RK4 ODE
+        # kernel's [3 * n_tp] slabs); the GN affine index stays stage-free.
         xb = x.astype(jnp.bfloat16)
         h = jnp.dot(xb, Wpre[:], preferred_element_type=jnp.float32)
-        h = h + tp_buf[slot, 0, :][None, :]
+        h = h + tp_buf[slot, row0 + 0, :][None, :]
         h = gnorm(h, 0)
         h = act(h)
         for blk in range(n_blocks):
@@ -235,12 +238,12 @@ def bind_fwd(n_blocks: int, hidden: int, gn_vpu: bool, ablate: frozenset,
             w2 = Ws[2 * blk + 1]
             h1 = jnp.dot(h.astype(jnp.bfloat16), w1[:],
                          preferred_element_type=jnp.float32)
-            h1 = h1 + tp_buf[slot, 1 + 2 * blk, :][None, :]
+            h1 = h1 + tp_buf[slot, row0 + 1 + 2 * blk, :][None, :]
             h1 = gnorm(h1, 1 + 2 * blk)
             h1 = act(h1)
             h2 = jnp.dot(h1.astype(jnp.bfloat16), w2[:],
                          preferred_element_type=jnp.float32)
-            h2 = h2 + tp_buf[slot, 2 + 2 * blk, :][None, :]
+            h2 = h2 + tp_buf[slot, row0 + 2 + 2 * blk, :][None, :]
             h2 = gnorm(h2, 2 + 2 * blk)
             h2 = act(h2)
             h = h + h2

@@ -107,9 +107,26 @@ def main(args):
 
     def build_generation_sampler(shape, eps):
         """Prefer the single-kernel Pallas sampler when the config matches
-        its scope (EM predictor, none/langevin corrector, positional temb);
-        fall back to the generic fused-scan sampler — data-parallel over all
-        local devices — otherwise or off-TPU."""
+        its scope (EM predictor, none/langevin corrector, positional temb —
+        or method='ode' via the RK4 PF-ODE kernel); fall back to the
+        generic fused-scan sampler — data-parallel over all local devices —
+        otherwise or off-TPU."""
+        if (config.sampling.method == "ode"
+                and config.model.embedding_type == "positional"
+                and jax.default_backend() == "tpu"):
+            try:
+                from dposer_tpu.ops.pallas.fused_ode import \
+                    get_pallas_ode_sampler
+
+                s = get_pallas_ode_sampler(
+                    sde, model, params, shape, n_steps=125, eps=eps,
+                    denoise=config.sampling.noise_removal)
+                s(jax.random.PRNGKey(0))  # compile probe
+                print("[sampler] pallas RK4 PF-ODE kernel path")
+                return lambda k, **kw: (None, s(k, **kw)[1])
+            except Exception as e:  # noqa: BLE001
+                print(f"[sampler] pallas ODE unavailable "
+                      f"({type(e).__name__}); adaptive RK45")
         if pallas_eligible(("none", "langevin")):
             try:
                 from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler

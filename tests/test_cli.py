@@ -125,6 +125,27 @@ def test_demo_completion2(workdir):
     assert "MPJPE" in out
 
 
+def test_demo_generation_ode_method(workdir):
+    """sampling.method='ode' generation (ref sampling.py:471-542): routes
+    through the PF-ODE sampler (RK4 Pallas kernel on TPU; adaptive RK45
+    fallback off-TPU, exercised here)."""
+    ode_cfg = os.path.join(workdir["out"], "ode_config.py")
+    with open(ode_cfg, "w") as f:
+        f.write(TINY_CONFIG_SRC + "\n\n_base_get = get_config\n\n"
+                "def get_config():\n"
+                "    c = _base_get()\n"
+                "    c.sampling.method = 'ode'\n"
+                "    return c\n")
+    out = run_cli([
+        "run.demo", "--config", ode_cfg,
+        "--task", "generation",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--output-path", workdir["out"]])
+    assert "loaded checkpoint" in out
+
+
 def test_demo_interpolation(workdir):
     """latent encode (fast RK4 likelihood) -> slerp -> PF-Euler decode."""
     out = run_cli([

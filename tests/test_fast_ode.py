@@ -148,3 +148,56 @@ def test_fast_likelihood_matches_adaptive(setup):
     assert z_err < 0.1, errs     # |z| scale ~2.6 on this field
     assert bpd_err < 0.2, errs   # bpd ~8.6-10.1 on this untrained field
     assert errs[400][1] < errs[100][1], errs  # grid refinement converges
+
+
+def test_pallas_ode_kernel_matches_fast_rk4(setup):
+    """The single-kernel RK4 PF-ODE sampler (interpret mode) reproduces the
+    tabled XLA RK4 — incl. the final denoise step — and tiles arbitrary
+    batches through the block grid."""
+    from dposer_tpu.ops.pallas.fused_ode import get_pallas_ode_sampler
+
+    model, params, sde, _ = setup
+    for denoise in (False, True):
+        z0 = jax.random.normal(jax.random.PRNGKey(11), (BATCH, DIM))
+        fast = get_fast_ode_sampler(sde, model, params, (BATCH, DIM),
+                                    n_steps=20, eps=1e-3, denoise=denoise)
+        nfe, ref = fast(jax.random.PRNGKey(0), z=z0)
+        kern = get_pallas_ode_sampler(sde, model, params, (BATCH, DIM),
+                                      n_steps=20, eps=1e-3, denoise=denoise,
+                                      interpret=True)
+        nfe_k, out = kern(jax.random.PRNGKey(0), z=z0)
+        assert nfe_k == nfe == 80
+        ref = np.asarray(ref)
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   atol=5e-3 * scale,
+                                   err_msg=f"denoise={denoise}")
+
+    # same PRNG key => same prior draw as the fast path (no z injected)
+    fast = get_fast_ode_sampler(sde, model, params, (BATCH, DIM), n_steps=20,
+                                eps=1e-3)
+    kern = get_pallas_ode_sampler(sde, model, params, (BATCH, DIM),
+                                  n_steps=20, eps=1e-3, interpret=True)
+    _, a = fast(jax.random.PRNGKey(4))
+    _, b = kern(jax.random.PRNGKey(4))
+    a = np.asarray(a)
+    np.testing.assert_allclose(np.asarray(b), a,
+                               atol=5e-3 * max(1.0, np.abs(a).max()))
+
+
+def test_pallas_ode_kernel_block_grid(setup):
+    """Batches above one block run block-sequentially and agree with the
+    single-block rows."""
+    from dposer_tpu.ops.pallas.fused_ode import get_pallas_ode_sampler
+
+    model, params, sde, _ = setup
+    B2 = 150  # 2 blocks at batch_block=128
+    z0 = jax.random.normal(jax.random.PRNGKey(12), (B2, DIM))
+    kern = get_pallas_ode_sampler(sde, model, params, (B2, DIM), n_steps=10,
+                                  eps=1e-3, interpret=True, batch_block=128)
+    _, out = kern(jax.random.PRNGKey(0), z=z0)
+    small = get_pallas_ode_sampler(sde, model, params, (8, DIM), n_steps=10,
+                                   eps=1e-3, interpret=True)
+    _, ref = small(jax.random.PRNGKey(0), z=z0[:8])
+    np.testing.assert_allclose(np.asarray(out[:8]), np.asarray(ref),
+                               atol=1e-5)
