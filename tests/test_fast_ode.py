@@ -201,3 +201,34 @@ def test_pallas_ode_kernel_block_grid(setup):
     _, ref = small(jax.random.PRNGKey(0), z=z0[:8])
     np.testing.assert_allclose(np.asarray(out[:8]), np.asarray(ref),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("family,dim", [("ve", 63), ("subvp", 126)])
+def test_pallas_ode_kernel_families(family, dim):
+    """VE score convention and 126-dim rot6d poses flow through the RK4
+    kernel's SDE-aware coefficient tables."""
+    from dposer_tpu.ops.pallas.fused_ode import get_pallas_ode_sampler
+
+    n_poses, pose_dim = (21, dim // 21)
+    model = ScoreModelFC(n_poses=n_poses, pose_dim=pose_dim, hidden_dim=128,
+                         embed_dim=64, n_blocks=1, dropout=0.0,
+                         scale_by_sigma=False)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, dim)),
+                        jnp.zeros((1,)))["params"]
+    # tame sigma range: the default sigma_max=50 VE field amplifies an
+    # untrained model's bf16-vs-fp32 rounding chaotically (~1e3 scale)
+    sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=2.0, N=50) \
+        if family == "ve" else sde_lib.SubVPSDE(N=50)
+    z0 = 0.5 * jax.random.normal(jax.random.PRNGKey(13), (8, dim))
+    fast = get_fast_ode_sampler(sde, model, params, (8, dim), n_steps=15,
+                                eps=1e-3 if family != "ve" else 1e-5,
+                                denoise=True)
+    _, ref = fast(jax.random.PRNGKey(0), z=z0)
+    kern = get_pallas_ode_sampler(sde, model, params, (8, dim), n_steps=15,
+                                  eps=1e-3 if family != "ve" else 1e-5,
+                                  denoise=True, interpret=True)
+    _, out = kern(jax.random.PRNGKey(0), z=z0)
+    ref = np.asarray(ref)
+    scale = max(1.0, np.abs(ref).max())
+    # bf16-vs-fp32 rounding; wiring bugs are O(scale)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2 * scale)
