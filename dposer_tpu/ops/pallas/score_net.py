@@ -252,3 +252,79 @@ def bind_fwd(n_blocks: int, hidden: int, gn_vpu: bool, ablate: frozenset,
         return res + bpost[:]
 
     return fwd
+
+
+def bind_fwd_jvp(n_blocks: int, hidden: int, ablate: frozenset,
+                 Wpre, Ws, Wpost, bpost, gn_refs, tp_buf):
+    """Bind kernel refs into ``fwd_jvp(x, dx, slot, row0) -> (out, dout)`` —
+    the network forward AND its jvp in direction ``dx``, propagated by hand
+    (the likelihood kernel needs the Hutchinson directional derivative
+    inside the kernel; lane-strided-GN mode only, hidden % 128 == 0).
+
+    Tangent rules per layer:
+      dense:  dh = dx @ W                       (bias/temb have no tangent)
+      GN:     dmu = mean_g(dh); dvar = 2*(mean_g(h*dh) - mu*dmu)
+              da  = -0.5 * a^3 * dvar
+              dout = (dh - dmu)*a*gamma + (h - mu)*da*gamma
+      SiLU:   dsilu = sig(h) * (1 + h*(1 - sig(h))) * dh
+      skip:   dh = dh + dh2
+    """
+    gn_scale, gn_bias = gn_refs
+    n_t = hidden // 128
+    inv_gs = 1.0 / (hidden // NUM_GROUPS)
+
+    def _group_reduce(v):
+        """Sum over each lane-strided group, replicated into its lanes."""
+        s = v[:, 0:128]
+        for kk in range(1, n_t):
+            s = s + v[:, 128 * kk:128 * (kk + 1)]
+        s = s + pltpu.roll(s, 32, 1)
+        s = s + pltpu.roll(s, 64, 1)
+        if n_t > 1:
+            s = jnp.concatenate([s] * n_t, axis=1)
+        return s
+
+    def gnorm_jvp(h, dh, j):
+        mu = _group_reduce(h) * inv_gs
+        var = _group_reduce(h * h) * inv_gs - mu * mu
+        a = jax.lax.rsqrt(jnp.maximum(var, 0.0) + GN_EPS)
+        dmu = _group_reduce(dh) * inv_gs
+        dvar = 2.0 * (_group_reduce(h * dh) * inv_gs - mu * dmu)
+        da = -0.5 * a * a * a * dvar
+        g_row = gn_scale[j, :][None, :]
+        b_row = gn_bias[j, :][None, :]
+        hc = h - mu
+        out = hc * (a * g_row) + b_row
+        dout = (dh - dmu) * (a * g_row) + hc * (da * g_row)
+        return out, dout
+
+    def silu_jvp(h, dh):
+        sig = jax.nn.sigmoid(h)
+        return h * sig, sig * (1.0 + h * (1.0 - sig)) * dh
+
+    def mm(v, W):
+        return jnp.dot(v.astype(jnp.bfloat16), W[:],
+                       preferred_element_type=jnp.float32)
+
+    def fwd_jvp(x, dx, slot, row0=0):
+        h = mm(x, Wpre) + tp_buf[slot, row0 + 0, :][None, :]
+        dh = mm(dx, Wpre)
+        h, dh = gnorm_jvp(h, dh, 0)
+        h, dh = silu_jvp(h, dh)
+        for blk in range(n_blocks):
+            w1, w2 = Ws[2 * blk], Ws[2 * blk + 1]
+            h1 = mm(h, w1) + tp_buf[slot, row0 + 1 + 2 * blk, :][None, :]
+            dh1 = mm(dh, w1)
+            h1, dh1 = gnorm_jvp(h1, dh1, 1 + 2 * blk)
+            h1, dh1 = silu_jvp(h1, dh1)
+            h2 = mm(h1, w2) + tp_buf[slot, row0 + 2 + 2 * blk, :][None, :]
+            dh2 = mm(dh1, w2)
+            h2, dh2 = gnorm_jvp(h2, dh2, 2 + 2 * blk)
+            h2, dh2 = silu_jvp(h2, dh2)
+            h = h + h2
+            dh = dh + dh2
+        out = mm(h, Wpost) + bpost[:]
+        dout = mm(dh, Wpost)
+        return out, dout
+
+    return fwd_jvp

@@ -322,13 +322,18 @@ def main(args):
         anchor_normed = normalizer.offline_normalize(anchor_poses, from_axis=True)
         # encode: fixed-grid tabled RK4 likelihood (fast path; adaptive RK45
         # is the oracle, forced by --adaptive-ode or non-positional temb)
+        # the interpolation encode CONSUMES z (slerp + decode), so the fp32
+        # tabled XLA RK4 is the right fast path here; the bf16 likelihood
+        # KERNEL (ops/pallas/fused_lik.py) serves bpd-throughput workloads
+        # where bits/dim is the output (see PERFORMANCE.md "ODE paths")
         likelihood_fn = None
         if not args.adaptive_ode and config.model.embedding_type == "positional":
             try:
-                from dposer_tpu.diffusion.likelihood import get_fast_likelihood_fn
+                from dposer_tpu.diffusion.likelihood import \
+                    get_fast_likelihood_fn
 
-                likelihood_fn = get_fast_likelihood_fn(sde, model, params,
-                                                       n_steps=250, eps=1e-4)
+                likelihood_fn = get_fast_likelihood_fn(
+                    sde, model, params, n_steps=250, eps=1e-4)
                 print("[ode] tabled fixed-grid RK4 encode")
             except NotImplementedError as e:
                 print(f"[ode] fast encode unavailable ({e}); adaptive RK45")

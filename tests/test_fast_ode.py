@@ -232,3 +232,26 @@ def test_pallas_ode_kernel_families(family, dim):
     scale = max(1.0, np.abs(ref).max())
     # bf16-vs-fp32 rounding; wiring bugs are O(scale)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2 * scale)
+
+
+def test_pallas_likelihood_kernel_matches_fast(setup):
+    """The single-kernel likelihood (in-kernel forward-mode jvp through
+    dense/GN/SiLU) reproduces the XLA fixed-grid RK4 likelihood — same
+    Hutchinson epsilon, same grid."""
+    from dposer_tpu.ops.pallas.fused_lik import get_pallas_likelihood_fn
+
+    model, params, sde, _ = setup
+    data = 0.5 * jax.random.normal(jax.random.PRNGKey(15), (BATCH, DIM))
+    fast = get_fast_likelihood_fn(sde, model, params, n_steps=25, eps=1e-4)
+    bpd_ref, z_ref, nfe = fast(jax.random.PRNGKey(1), data)
+    kern = get_pallas_likelihood_fn(sde, model, params, (BATCH, DIM),
+                                    n_steps=25, eps=1e-4, interpret=True)
+    bpd, z, nfe_k = kern(jax.random.PRNGKey(1), data)
+    assert nfe_k == nfe == 100
+    z_ref = np.asarray(z_ref)
+    scale = max(1.0, np.abs(z_ref).max())
+    # bf16 matmuls vs fp32 over 100 chained evals; a tangent-rule wiring
+    # bug shows as O(bpd) ~ 10 here, not the observed ~0.05
+    np.testing.assert_allclose(np.asarray(z), z_ref, atol=3e-2 * scale)
+    np.testing.assert_allclose(np.asarray(bpd), np.asarray(bpd_ref),
+                               atol=0.1)
