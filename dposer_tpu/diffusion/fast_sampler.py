@@ -72,6 +72,38 @@ def _em_tables(sde: SDE, timesteps: jnp.ndarray,
     return cx, cout, cnoise
 
 
+def _rd_tables(sde: SDE, timesteps: jnp.ndarray,
+               probability_flow: bool = False
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-step (cx, cout, cnoise) for the REVERSE-DIFFUSION predictor
+    (ref sampling.py:210-220): ``x_mean = x - rev_f`` with
+    ``rev_f = f - G^2 * score`` from the discretized reverse iteration.
+    ``f`` is linear with ``f(0)=0`` for every supported family, so
+    ``f1 = f(1)`` captures it: ``cx = 1 - f1``, ``cout = G^2 * ss``,
+    ``cnoise = G`` (0 under probability flow; the score factor stays FULL
+    there — the reference's quirk, ref sde_lib.py:114-115)."""
+    f1, G = sde.discretize(jnp.ones((timesteps.shape[0], 1)), timesteps)
+    f1 = f1[:, 0]
+    G = jnp.broadcast_to(G, timesteps.shape)
+    ss, _ = _corrector_tables(sde, timesteps, None)
+    cx = 1.0 - f1
+    cout = G ** 2 * ss
+    cnoise = jnp.zeros_like(G) if probability_flow else G
+    return cx, cout, cnoise
+
+
+def _pred_tables(sde: SDE, timesteps: jnp.ndarray, predictor: str,
+                 probability_flow: bool = False):
+    """Dispatch (cx, cout, cnoise) tables by predictor name."""
+    if predictor == "euler_maruyama":
+        return _em_tables(sde, timesteps, probability_flow=probability_flow)
+    if predictor == "reverse_diffusion":
+        return _rd_tables(sde, timesteps, probability_flow=probability_flow)
+    raise NotImplementedError(
+        f"tabled samplers support euler_maruyama/reverse_diffusion; "
+        f"got {predictor!r}")
+
+
 def _pf_tables(sde: SDE, taus: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-grid-point (a1, a2) such that the probability-flow-ODE drift is
     ``a1[j]*x + a2[j]*model_out`` (ref sde_lib.py:98-109 with
@@ -197,6 +229,7 @@ def get_fast_pc_sampler(sde: SDE, model: ScoreModelFC, params,
                         denoise: bool = True, corrector: str = "none",
                         snr: float = 0.16, n_corrector_steps: int = 1,
                         imputation: bool = False,
+                        predictor: str = "euler_maruyama",
                         probability_flow: bool = False, jit: bool = True):
     """Tabled PC sampler: EM predictor + optional langevin corrector +
     optional imputation, with the SAME per-step tables the Pallas kernel
@@ -214,8 +247,8 @@ def get_fast_pc_sampler(sde: SDE, model: ScoreModelFC, params,
     assert corrector in ("none", "langevin")
     timesteps = sde.timesteps(eps)
     labels = _labels_for(sde, timesteps)
-    cx, cout, cnoise = _em_tables(sde, timesteps,
-                                  probability_flow=probability_flow)
+    cx, cout, cnoise = _pred_tables(sde, timesteps, predictor,
+                                    probability_flow=probability_flow)
     tprojs, out_scale = precompute_time_tables(model, params, labels)
     score_scale, alpha = _corrector_tables(sde, timesteps, out_scale)
     mc, istd = _imputation_tables(sde, timesteps)

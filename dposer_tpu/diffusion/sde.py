@@ -102,6 +102,11 @@ class SDE:
 
         def rdisc(x: Array, t: Array) -> Tuple[Array, Array]:
             f, G = self.discretize(x, t)
+            # NOTE: the reference keeps the FULL score factor in
+            # probability-flow mode too (ref sde_lib.py:114-115 reads
+            # ``* (1.0 if self.probability_flow else 1.)`` — it dropped
+            # upstream ScoreSDE's 0.5 here). Faithful reproduction;
+            # pinned by test_sde.py::test_reverse_discretize_matches_reference.
             rev_f = f - batch_mul(G ** 2, score_fn(x, t))
             rev_G = jnp.zeros_like(G) if probability_flow else G
             return rev_f, rev_G

@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...diffusion.fast_sampler import (_corrector_tables, _em_tables,
-                                       _imputation_tables, _labels_for)
+                                       _imputation_tables, _labels_for,
+                                       _pred_tables)
 from ...diffusion.sde import SDE
 from ...models.score_mlp import ScoreModelFC
 from .score_net import (bind_fwd, box_muller as _box_muller,
@@ -219,8 +220,13 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           n_corrector_steps: int = 1, imputation: bool = False,
                           mesh=None, gn: str = "auto",
                           probability_flow: bool = False,
+                          predictor: str = "euler_maruyama",
                           _ablate: frozenset = frozenset()):
     """Build the single-kernel PC sampler.
+
+    ``predictor`` may be 'euler_maruyama' or 'reverse_diffusion' — both
+    collapse to the same 3-scalar per-step update, only the coefficient
+    tables differ (``fast_sampler._pred_tables``).
 
     ``probability_flow=True`` runs the deterministic PF-ODE Euler update
     (score term halved, noise coefficient zero — the interpolation
@@ -249,7 +255,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         return _sharded_sampler(sde, model, params, shape, eps, denoise,
                                 interpret, rng_mode, batch_block, corrector,
                                 snr, n_corrector_steps, imputation, mesh,
-                                gn, probability_flow, _ablate)
+                                gn, probability_flow, predictor, _ablate)
 
     kernel_rng = rng_mode == "kernel"
     # VMEM budget guard: weights (bf16) + x/noise/tp buffers + ~3 live
@@ -282,8 +288,8 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
 
     timesteps = sde.timesteps(eps)
     labels = _labels_for(sde, timesteps)
-    cx, cout, cnoise = _em_tables(sde, timesteps,
-                                  probability_flow=probability_flow)
+    cx, cout, cnoise = _pred_tables(sde, timesteps, predictor,
+                                    probability_flow=probability_flow)
     net = build_network_operands(model, params, dim, dim_p, labels, gn=gn)
     out_scale = net["out_scale"]
     score_scale, alpha = _corrector_tables(sde, timesteps, out_scale)
@@ -393,7 +399,8 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
 
 def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
                      rng_mode, batch_block, corrector, snr, n_corrector_steps,
-                     imputation, mesh, gn, probability_flow, _ablate):
+                     imputation, mesh, gn, probability_flow, predictor,
+                     _ablate):
     """shard_map the single-device kernel over the mesh's batch shards."""
     from jax.sharding import PartitionSpec as P
 
@@ -410,7 +417,8 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
         interpret=interpret, rng_mode=rng_mode, batch_block=batch_block,
         corrector=corrector, snr=snr, n_corrector_steps=n_corrector_steps,
         imputation=imputation, mesh=None, gn=gn,
-        probability_flow=probability_flow, _ablate=_ablate)
+        probability_flow=probability_flow, predictor=predictor,
+        _ablate=_ablate)
     axis = DATA_AXIS
     cache = {}
 

@@ -99,9 +99,11 @@ def main(args):
 
     def pallas_eligible(allowed_correctors):
         """One predicate for every Pallas-vs-XLA routing decision in this
-        CLI (kernel scope: EM predictor, positional temb)."""
+        CLI (kernel scope: EM or reverse-diffusion predictor — both are
+        3-scalar tabled updates — and positional temb)."""
         return (config.sampling.method == "pc"
-                and config.sampling.predictor == "euler_maruyama"
+                and config.sampling.predictor in ("euler_maruyama",
+                                                  "reverse_diffusion")
                 and config.sampling.corrector in allowed_correctors
                 and config.model.embedding_type == "positional")
 
@@ -136,6 +138,7 @@ def main(args):
                                           corrector=config.sampling.corrector,
                                           snr=config.sampling.snr,
                                           n_corrector_steps=config.sampling.n_steps_each,
+                                          predictor=config.sampling.predictor,
                                           rng_mode="kernel",
                                           mesh=mesh if mesh.devices.size > 1 else None)
                 s(jax.random.PRNGKey(0))  # compile probe
@@ -277,6 +280,7 @@ def main(args):
                         sde, model, params, observation.shape, hypo_num,
                         eps=sampling_eps,
                         denoise=config.sampling.noise_removal,
+                        predictor=config.sampling.predictor,
                         rng_mode="kernel",
                         mesh=mesh if (mesh.devices.size > 1
                                       and hb % mesh.devices.size == 0) else None)

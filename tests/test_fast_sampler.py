@@ -105,3 +105,60 @@ def test_from_latent(setup):
     _, x1 = fast(jax.random.PRNGKey(0), z=z)
     _, x2 = fast(jax.random.PRNGKey(0), z=z)
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_fast_reverse_diffusion_matches_generic():
+    """The reverse-diffusion predictor collapses to the same 3-scalar
+    tabled update (cx = 1 - f1, cout = G^2*ss, cnoise = G) — must equal
+    the generic reverse_diffusion sampler under the shared PRNG layout."""
+    from dposer_tpu.diffusion.fast_sampler import get_fast_pc_sampler
+    from dposer_tpu.diffusion.sampling import get_pc_sampler
+    from dposer_tpu.diffusion.score_fn import get_score_fn
+
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+                         n_blocks=2, dropout=0.0, scale_by_sigma=True,
+                         num_scales=1000)
+    dim = 63
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, dim)),
+                        jnp.zeros((1,)))["params"]
+    for sde in (sde_lib.SubVPSDE(N=30), sde_lib.VESDE(N=30)):
+        score_fn = get_score_fn(sde, lambda x, t: model.apply({"params": params}, x, t),
+                                continuous=True)
+        z0 = jax.random.normal(jax.random.PRNGKey(5), (8, dim))
+        generic = get_pc_sampler(sde, (8, dim), score_fn,
+                                 predictor="reverse_diffusion",
+                                 corrector="none", denoise=True, eps=1e-3)
+        _, a = generic(jax.random.PRNGKey(1), z=z0)
+        fast = get_fast_pc_sampler(sde, model, params, (8, dim), eps=1e-3,
+                                   denoise=True, predictor="reverse_diffusion")
+        _, b = fast(jax.random.PRNGKey(1), z=z0)
+        a = np.asarray(a)
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(np.asarray(b), a, atol=1e-3 * scale,
+                                   err_msg=type(sde).__name__)
+
+
+def test_pallas_reverse_diffusion_matches_fast():
+    """Kernel (interpret) with predictor='reverse_diffusion' == the fast
+    XLA twin under injected noise."""
+    from dposer_tpu.diffusion.fast_sampler import get_fast_pc_sampler
+    from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
+
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=128, embed_dim=64,
+                         n_blocks=2, dropout=0.0, scale_by_sigma=False)
+    dim = 63
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, dim)),
+                        jnp.zeros((1,)))["params"]
+    sde = sde_lib.SubVPSDE(N=30)
+    z0 = jax.random.normal(jax.random.PRNGKey(6), (8, dim))
+    noise = jax.random.normal(jax.random.PRNGKey(7), (30, 1, 8, dim))
+    fast = get_fast_pc_sampler(sde, model, params, (8, dim), eps=1e-3,
+                               denoise=True, predictor="reverse_diffusion")
+    _, ref = fast(jax.random.PRNGKey(0), z=z0, noise=noise)
+    kern = get_pallas_em_sampler(sde, model, params, (8, dim), eps=1e-3,
+                                 denoise=True, predictor="reverse_diffusion",
+                                 interpret=True)
+    _, out = kern(jax.random.PRNGKey(0), z=z0, noise=noise)
+    ref = np.asarray(ref)
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-3 * scale)

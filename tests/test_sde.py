@@ -126,3 +126,30 @@ def test_timesteps_grid():
     ts = s.timesteps(eps=1e-3)
     assert ts.shape == (1000,)
     assert np.isclose(float(ts[0]), 1.0) and np.isclose(float(ts[-1]), 1e-3)
+
+
+def test_reverse_discretize_matches_reference(ref_sde_lib, torch, data):
+    """Discretized reverse iteration — including the reference's quirk of
+    keeping the FULL score factor in probability-flow mode (ref
+    sde_lib.py:114-115 reads ``* (1.0 if self.probability_flow else 1.)``,
+    dropping upstream ScoreSDE's 0.5; we reproduce the reference)."""
+    x, t = data
+
+    def score_jax(xx, tt):
+        return -xx * (1.0 + tt[..., None])
+
+    def score_torch(xx, tt, condition=None, mask=None):
+        return -xx * (1.0 + tt[..., None])
+
+    for (ours, ref) in _pairs(ref_sde_lib):
+        for pf in [False, True]:
+            rj = ours.reverse_discretize(score_jax, probability_flow=pf)
+            fj, gj = rj(jnp.asarray(x), jnp.asarray(t))
+            rt = ref.reverse(score_torch, probability_flow=pf)
+            ft_, gt_ = rt.discretize(torch.from_numpy(x), torch.from_numpy(t))
+            np.testing.assert_allclose(np.asarray(fj), ft_.numpy(),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"{type(ours).__name__} pf={pf}")
+            np.testing.assert_allclose(
+                np.broadcast_to(np.asarray(gj), gt_.numpy().shape),
+                gt_.numpy(), rtol=1e-5, atol=1e-6)
