@@ -105,6 +105,17 @@ def main():
     rows.append(("likelihood fixed-grid RK4 (100 steps), batch 50", t,
                  "nfe=400"))
 
+    try:
+        from dposer_tpu.ops.pallas.fused_lik import get_pallas_likelihood_fn
+
+        k_lik = get_pallas_likelihood_fn(sde, model, params, (50, DIM),
+                                         n_steps=100, eps=1e-4)
+        t = steady(k_lik, (key, data))
+        rows.append(("likelihood Pallas kernel (100 steps), batch 50", t,
+                     "nfe=400, in-kernel jvp"))
+    except Exception as e:  # noqa: BLE001
+        rows.append(("likelihood Pallas kernel", float("nan"), str(e)))
+
     print(f"\nbackend: {jax.default_backend()}")
     for name, t, note in rows:
         print(f"  {name:48s} {t * 1e3:9.1f} ms   {note}")
