@@ -55,7 +55,7 @@ def main():
     # exactly run.train's cadence. Async enqueue-only timing (or even
     # block_until_ready) wildly under-reports here: the tunnel acks enqueues
     # long before execution, and deeply queued dispatch chains degrade.
-    for K in (1, 8, 32, 64):
+    for K in (1, 8, 32, 64, 128, 256):
         if K == 1:
             fn = par.data_parallel_step(step_fn, mesh)
             batches = par.shard_batch(

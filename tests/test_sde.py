@@ -152,4 +152,4 @@ def test_reverse_discretize_matches_reference(ref_sde_lib, torch, data):
                                        err_msg=f"{type(ours).__name__} pf={pf}")
             np.testing.assert_allclose(
                 np.broadcast_to(np.asarray(gj), gt_.numpy().shape),
-                gt_.numpy(), rtol=1e-5, atol=1e-6)
+                gt_.numpy(), rtol=1e-4, atol=1e-6)
