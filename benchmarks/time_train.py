@@ -49,6 +49,9 @@ def main():
 
     state0, step_fn = build()
     mesh = par.make_mesh()
+    # commit to the programs' replicated in_sharding up front — an
+    # uncommitted first-call state doubles every K's compile (see run.train)
+    state0 = jax.device_put(state0, par.replicate(mesh))
     key = jax.random.PRNGKey(2)
 
     # Methodology (hard-won on the axon tunnel): one D2H read per dispatch —

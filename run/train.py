@@ -215,6 +215,13 @@ def main(args):
             logger.warning(
                 f"--steps-per-dispatch={K} > {name}={freq}: {name} events "
                 f"fire once per dispatch (every {K} steps), not every {freq}")
+    # Commit the freshly-built (or restored) state to the replicated
+    # sharding the train programs declare as in_shardings BEFORE the first
+    # dispatch: jit keys its program cache on the arguments' actual
+    # shardings, so an uncommitted first-call state makes the SECOND
+    # dispatch recompile the whole multi-step program (measured: two
+    # ~5 min compiles instead of one on the tunneled chip).
+    state = jax.device_put(state, par.replicate(mesh))
     sharded_step = par.data_parallel_step(train_step, mesh)
     # Device-resident data path: when the (normalized) train tensor fits in
     # HBM, it is uploaded ONCE and each dispatch ships only a [K, B] int32

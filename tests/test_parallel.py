@@ -283,6 +283,31 @@ def test_data_parallel_multi_step_sharded():
                                np.asarray(lds_ref["step_loss"]), rtol=1e-3)
 
 
+def test_multi_step_compiles_once_with_committed_state():
+    """The first dispatch's state must hit the same program-cache entry as
+    every later dispatch. jit keys its cache on argument shardings, so the
+    freshly-built (uncommitted) state has to be device_put to the programs'
+    replicated in_sharding up front — run.train does this; without it the
+    SECOND dispatch recompiled the whole multi-step program (measured two
+    ~5 min compiles instead of one on the tunneled chip)."""
+    from dposer_tpu.diffusion.losses import multi_step_indexed
+
+    _, _, state0, step_fn = _setup()
+    mesh = par.make_mesh()
+    state = jax.device_put(state0, par.replicate(mesh))  # run.train's commit
+    data = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(8), (200, DIM)),
+        par.replicate(mesh))
+    fused = par.data_parallel_multi_step_indexed(
+        multi_step_indexed(step_fn, data), mesh)
+    key = jax.random.PRNGKey(5)
+    for i in range(3):
+        idx = jax.random.randint(jax.random.PRNGKey(10 + i), (4, 32), 0, 200)
+        state, lds = fused(state, key, par.shard_global_multi_batch(mesh, idx))
+        np.asarray(lds["step_loss"])
+        assert fused._cache_size() == 1, f"retrace at dispatch {i}"
+
+
 def test_multi_step_indexed_matches_multi_step():
     """Device-resident data + [K, B] index windows must reproduce the
     host-batch multi_step exactly (same rows, same substep keys) — the
