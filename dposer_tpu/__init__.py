@@ -32,4 +32,24 @@ if _os.environ.get("DPOSER_PLATFORM"):
     except Exception:
         pass
 
+# Persistent XLA compilation cache, on by default: every fresh CLI process
+# otherwise re-pays the full compile of each program it touches — minutes
+# per program on tunneled TPU hosts. Cached executables load in seconds
+# (measured 64 s cold -> 3.9 s cached for the flagship K=64 multi-step
+# train program; see PERFORMANCE.md). Only programs that took >=5 s to
+# compile are persisted. DPOSER_COMPILATION_CACHE=off disables; any other
+# value overrides the default ~/.cache/dposer_tpu/jax directory.
+_cache_dir = _os.environ.get("DPOSER_COMPILATION_CACHE")
+if _cache_dir not in ("off", "0", ""):
+    import jax as _jax
+
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _cache_dir or _os.path.join(_os.path.expanduser("~"),
+                                        ".cache", "dposer_tpu", "jax"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # old jax without the option, or read-only home
+        pass
+
 from . import parallel  # noqa: E402,F401  (re-export for dposer_tpu.parallel)

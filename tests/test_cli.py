@@ -376,3 +376,28 @@ def test_fitting_cli_batched_images(workdir):
     assert "results on whole dataset" in out
     assert os.path.exists(os.path.join(outdir, "01_img_fit.npz"))
     assert os.path.exists(os.path.join(outdir, "02_img_fit.npz"))
+
+
+def test_compilation_cache_env_knob(tmp_path):
+    """DPOSER_COMPILATION_CACHE: default on (~/.cache/dposer_tpu/jax), custom
+    path honored, 'off' disables — fresh CLI processes otherwise re-pay
+    minutes of XLA compile per program on tunneled TPU hosts."""
+    prog = ("import dposer_tpu, jax; "
+            "print('dir=' + str(jax.config.jax_compilation_cache_dir))")
+
+    def run(cache_env):
+        env = dict(os.environ)
+        env["DPOSER_PLATFORM"] = "cpu"
+        if cache_env is None:
+            env.pop("DPOSER_COMPILATION_CACHE", None)
+        else:
+            env["DPOSER_COMPILATION_CACHE"] = cache_env
+        p = subprocess.run([sys.executable, "-c", prog], cwd=REPO, env=env,
+                           capture_output=True, text=True, timeout=120)
+        assert p.returncode == 0, p.stderr
+        return p.stdout.strip().splitlines()[-1]
+
+    assert run(None).endswith(os.path.join(".cache", "dposer_tpu", "jax"))
+    custom = str(tmp_path / "xc")
+    assert run(custom) == f"dir={custom}"
+    assert run("off") == "dir=None"
