@@ -49,6 +49,9 @@ if _cache_dir not in ("off", "0", ""):
             _cache_dir or _os.path.join(_os.path.expanduser("~"),
                                         ".cache", "dposer_tpu", "jax"))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # kernel-sampler executables embed their coefficient tables and run
+        # ~100 MB each — cap the directory with LRU eviction
+        _jax.config.update("jax_compilation_cache_max_size", 4 << 30)
     except Exception:  # old jax without the option, or read-only home
         pass
 
