@@ -61,9 +61,11 @@ def parse_args(argv):
     parser.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="train steps scanned per device dispatch "
                              "(amortizes the ~25 ms per-dispatch RPC overhead "
-                             "of tunneled chips; any value works — eval/save "
-                             "fire when a dispatch crosses a freq multiple, "
-                             "and a final partial window runs step-by-step)")
+                             "of tunneled chips; 256 reached 4%% off the "
+                             "pure-device step floor — see PERFORMANCE.md. "
+                             "Any value works: eval/save fire when a dispatch "
+                             "crosses a freq multiple, and a final partial "
+                             "window runs step-by-step)")
     return parser.parse_args(argv[1:])
 
 
