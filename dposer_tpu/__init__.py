@@ -39,19 +39,41 @@ if _os.environ.get("DPOSER_PLATFORM"):
 # train program; see PERFORMANCE.md). Only programs that took >=5 s to
 # compile are persisted. DPOSER_COMPILATION_CACHE=off disables; any other
 # value overrides the default ~/.cache/dposer_tpu/jax directory.
+def _backfill_cache_atimes(cache_dir):
+    """Stamp missing ``*-atime`` sidecars so LRU eviction can't poison writes.
+
+    jax's ``LRUCache`` (active when ``jax_compilation_cache_max_size`` is set)
+    scans every existing ``*-cache`` entry on each put and reads its
+    ``*-atime`` sidecar; an entry written before the size cap was configured
+    has no sidecar, so the read raises FileNotFoundError and the put is
+    dropped — every NEW program silently stops being persisted. Backfill the
+    sidecars with each entry's mtime so eviction order stays honest.
+    """
+    import pathlib
+
+    d = pathlib.Path(cache_dir)
+    if not d.is_dir():
+        return
+    for f in d.glob("*-cache"):
+        sidecar = f.with_name(f.name[: -len("-cache")] + "-atime")
+        if not sidecar.exists():
+            ns = int(f.stat().st_mtime * 1e9)
+            sidecar.write_bytes(ns.to_bytes(8, "little"))
+
+
 _cache_dir = _os.environ.get("DPOSER_COMPILATION_CACHE")
 if _cache_dir not in ("off", "0", ""):
     import jax as _jax
 
     try:
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _cache_dir or _os.path.join(_os.path.expanduser("~"),
-                                        ".cache", "dposer_tpu", "jax"))
+        _cache_path = _cache_dir or _os.path.join(
+            _os.path.expanduser("~"), ".cache", "dposer_tpu", "jax")
+        _jax.config.update("jax_compilation_cache_dir", _cache_path)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         # kernel-sampler executables embed their coefficient tables and run
         # ~100 MB each — cap the directory with LRU eviction
         _jax.config.update("jax_compilation_cache_max_size", 4 << 30)
+        _backfill_cache_atimes(_cache_path)
     except Exception:  # old jax without the option, or read-only home
         pass
 

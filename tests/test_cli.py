@@ -401,3 +401,28 @@ def test_compilation_cache_env_knob(tmp_path):
     custom = str(tmp_path / "xc")
     assert run(custom) == f"dir={custom}"
     assert run("off") == "dir=None"
+
+
+def test_compilation_cache_atime_backfill(tmp_path):
+    """A cache dir populated before the LRU size cap has ``*-cache`` entries
+    without ``*-atime`` sidecars; jax's LRUCache then raises FileNotFoundError
+    inside every put's eviction scan, so no NEW program is ever persisted.
+    Importing dposer_tpu must backfill the sidecars and make puts work."""
+    cache = tmp_path / "jaxcache"
+    cache.mkdir()
+    (cache / "jit_legacy-aaaa-cache").write_bytes(b"x" * 64)  # no -atime
+
+    prog = (
+        "import dposer_tpu\n"
+        "from jax._src.lru_cache import LRUCache\n"
+        "c = LRUCache(%r, max_size=4 << 30)\n"
+        "c.put('jit_new-bbbb', b'y' * 64)\n"  # pre-fix: FileNotFoundError
+        "print('put-ok', c.get('jit_new-bbbb') == b'y' * 64)\n" % str(cache))
+    env = dict(os.environ)
+    env["DPOSER_PLATFORM"] = "cpu"
+    env["DPOSER_COMPILATION_CACHE"] = str(cache)
+    p = subprocess.run([sys.executable, "-c", prog], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0, p.stderr
+    assert "put-ok True" in p.stdout
+    assert (cache / "jit_legacy-aaaa-atime").exists()
