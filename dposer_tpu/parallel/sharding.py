@@ -124,14 +124,16 @@ def data_parallel_multi_step(multi_step_fn: Callable, mesh: Mesh) -> Callable:
 
 
 def data_parallel_multi_step_indexed(multi_step_fn: Callable, mesh: Mesh) -> Callable:
-    """Device-resident-data variant: ``fn(state, key, idx [K, B])`` with the
-    batch dim of the int32 index array sharded; the dataset itself is a
-    closed-over replicated device array (see ``losses.multi_step_indexed``).
+    """Device-resident-data variant: ``fn(state, key, idx [K, B], data [N, D])``
+    with the batch dim of the int32 index array sharded and the dataset a
+    replicated device-array ARGUMENT (closing over it would bake it into
+    the executable as a literal — see ``losses.multi_step_indexed``).
     Index staging reuses :func:`shard_global_multi_batch` (it is
     shape-agnostic over trailing dims)."""
     repl = replicate(mesh)
     return jax.jit(multi_step_fn,
-                   in_shardings=(repl, repl, NamedSharding(mesh, P(None, DATA_AXIS))),
+                   in_shardings=(repl, repl,
+                                 NamedSharding(mesh, P(None, DATA_AXIS)), repl),
                    out_shardings=(repl, repl))
 
 

@@ -237,7 +237,7 @@ def main(args):
             data_dev = jax.device_put(jnp.asarray(train_dataset.poses),
                                       par.replicate(mesh))
             sharded_multi = par.data_parallel_multi_step_indexed(
-                losses_lib.multi_step_indexed(train_step, data_dev), mesh)
+                losses_lib.multi_step_indexed(train_step), mesh)
             logger.info(f"train data device-resident "
                         f"({train_dataset.poses.nbytes / 2**20:.0f} MiB, "
                         f"index-window dispatches)")
@@ -343,7 +343,9 @@ def main(args):
             trace_active = True
         k_this = min(K, num_train_steps - step)
         if k_this == K and K > 1:
-            state, loss_dicts = sharded_multi(state, k_step, staged)
+            state, loss_dicts = (sharded_multi(state, k_step, staged, data_dev)
+                                 if device_data
+                                 else sharded_multi(state, k_step, staged))
             staged = stage_window()  # overlap next upload with this dispatch
             # ONE device->host transfer for the whole window: per-element
             # float() would pay a ~25 ms RPC per read on a tunneled chip

@@ -299,13 +299,43 @@ def test_multi_step_compiles_once_with_committed_state():
         jax.random.normal(jax.random.PRNGKey(8), (200, DIM)),
         par.replicate(mesh))
     fused = par.data_parallel_multi_step_indexed(
-        multi_step_indexed(step_fn, data), mesh)
+        multi_step_indexed(step_fn), mesh)
     key = jax.random.PRNGKey(5)
     for i in range(3):
         idx = jax.random.randint(jax.random.PRNGKey(10 + i), (4, 32), 0, 200)
-        state, lds = fused(state, key, par.shard_global_multi_batch(mesh, idx))
+        state, lds = fused(state, key, par.shard_global_multi_batch(mesh, idx),
+                           data)
         np.asarray(lds["step_loss"])
         assert fused._cache_size() == 1, f"retrace at dispatch {i}"
+
+
+def test_multi_step_indexed_data_not_baked_into_program():
+    """The dataset must enter the program as a buffer ARGUMENT. Closing over
+    it made XLA embed it as a literal: the lowered HLO (and the serialized
+    executable, and the persistent-cache entry — 942 MB for the flagship
+    252 MB dataset) scaled with the dataset size, and every compile hashed
+    the whole tensor."""
+    from dposer_tpu.diffusion.losses import multi_step_indexed
+
+    _, _, state0, step_fn = _setup()
+    mesh = par.make_mesh()
+    state = jax.device_put(state0, par.replicate(mesh))
+    fused = par.data_parallel_multi_step_indexed(multi_step_indexed(step_fn),
+                                                 mesh)
+    idx = par.shard_global_multi_batch(
+        mesh, jax.random.randint(jax.random.PRNGKey(9), (2, 32), 0, 100))
+
+    def hlo_len(n_rows):
+        data = jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(8), (n_rows, DIM)),
+            par.replicate(mesh))
+        return len(fused.lower(state, jax.random.PRNGKey(5), idx, data)
+                   .as_text())
+
+    small, large = hlo_len(128), hlo_len(16384)
+    assert large < small * 1.05, (
+        f"HLO grew with dataset size ({small} -> {large} chars): "
+        "the dataset is being baked into the program as a literal")
 
 
 def test_multi_step_indexed_matches_multi_step():
@@ -325,8 +355,9 @@ def test_multi_step_indexed_matches_multi_step():
     mesh = par.make_mesh()
     data_dev = jax.device_put(data, par.replicate(mesh))
     fused = par.data_parallel_multi_step_indexed(
-        multi_step_indexed(step_fn, data_dev), mesh)
-    state_b, losses_b = fused(state0, key, par.shard_global_multi_batch(mesh, idx))
+        multi_step_indexed(step_fn), mesh)
+    state_b, losses_b = fused(state0, key,
+                              par.shard_global_multi_batch(mesh, idx), data_dev)
 
     # same rows & keys; GSPMD partitioning reorders reductions -> tiny drift
     np.testing.assert_allclose(np.asarray(losses_b["step_loss"]),
