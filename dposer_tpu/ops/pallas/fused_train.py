@@ -1,5 +1,16 @@
 """DSM train step with the network fwd+bwd chain as ONE Pallas kernel.
 
+**Measured outcome (v5e): PARITY with the XLA step, not a win** — through
+the real indexed data path the full step is 1.134 ms (kernel) vs 1.131 ms
+(XLA), and the isolated loss+grad is 0.758 vs 0.732 ms. XLA already fuses
+the GroupNorm/SiLU/dropout chain into the dense matmuls well enough that
+the kernel's saved activation round-trips are cancelled by its own bf16
+stash write-back (~26 MB/step of dh + dense-input rows the XLA side needs
+for the dW matmuls). The kernel stays in-tree (correct, tested, exact in
+fp32 mode) behind ``run.train --train-kernel``, default off; see
+PERFORMANCE.md "Negative results". The original motivation below is kept
+for the record.
+
 Motivation (measured on TPU v5e, `benchmarks/ablate_train.py`): the XLA
 train step at the flagship config costs ~1.10 ms/step — forward 0.51 ms,
 backward +0.72 ms, clip+Adam+EMA +0.23 ms. The fwd/bwd time is dominated
@@ -218,8 +229,26 @@ def _make_kernel(n_blocks: int, batch: int, batch_blk: int, dim: int,
     return kernel
 
 
+VMEM_BUDGET = 88 * 1024 * 1024  # headroom under the 100 MB compiler limit
+
+
+def _vmem_estimate(blk: int, n_blk: int, n_tp: int, hidden: int,
+                   dim_p: int, n_blocks: int, cdt) -> int:
+    """Rough VMEM bytes for one kernel invocation at batch-block ``blk``.
+    Gridded runs double-buffer the blocked windows (Mosaic pipelining)."""
+    cs = jnp.dtype(cdt).itemsize
+    dbuf = 2 if n_blk > 1 else 1
+    windows = 3 * n_tp * blk * hidden * cs            # proj in, dh/stash out
+    rows = 3 * blk * dim_p * 4 + 2 * blk * 128 * 4     # x, z, dout; uvs, loss
+    scratch = n_tp * blk * hidden * cs + n_tp * blk * 128 * 4
+    weights = (dim_p * hidden + 4 * n_blocks * hidden * hidden
+               + 2 * hidden * dim_p + 2 * hidden * 128) * cs
+    weights += (8 * dim_p + 32 * hidden) * 4           # bpost, gamma/beta, dgn
+    return dbuf * (windows + rows) + scratch + weights
+
+
 def _net_fwd_bwd(model: ScoreModelFC, params, x_pert, z, uvs, proj, seed,
-                 batch_blk: int, interpret: bool, cdt=jnp.bfloat16):
+                 batch_blk: Optional[int], interpret: bool, cdt=jnp.bfloat16):
     """Invoke the kernel: returns (loss, dout [B, D], dh [n_tp, B, H],
     stash_in [n_tp, B, H], dgn [16, H]). Shapes are padded/sliced here."""
     batch, dim = x_pert.shape
@@ -227,7 +256,18 @@ def _net_fwd_bwd(model: ScoreModelFC, params, x_pert, z, uvs, proj, seed,
     n_blocks = model.n_blocks
     n_tp = 1 + 2 * n_blocks
     dim_p = round_up(dim, 128)
-    blk = min(round_up(batch, 8), batch_blk)
+    if batch_blk is None:
+        # Auto: the single-block layout measures ~2.7x faster than the
+        # gridded one at the flagship config (no window double-buffering,
+        # one grid step), so take the whole batch as one block when the
+        # VMEM estimate fits, else halve until it does.
+        blk = round_up(batch, 8)
+        while (blk > 128 and _vmem_estimate(
+                blk, (round_up(batch, blk) + blk - 1) // blk, n_tp, hidden,
+                dim_p, n_blocks, cdt) > VMEM_BUDGET):
+            blk = round_up((blk + 1) // 2, 8)
+    else:
+        blk = min(round_up(batch, 8), batch_blk)
     batch_p = round_up(batch, blk)
     n_blk = batch_p // blk
     gridded = n_blk > 1
@@ -315,7 +355,11 @@ def _net_fwd_bwd(model: ScoreModelFC, params, x_pert, z, uvs, proj, seed,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # resident W + W^T (~17 MB bf16 at hidden=1024) plus the
+            # double-buffered [n_tp, blk, H] windows exceed the 16 MB
+            # default scoped-vmem budget; v5e has 128 MB of VMEM
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x_p, z_p, uvs_p, proj_p, Wpre, *Ws, Wpost, bpost, *WTs, WpostT,
       G, Gt, gamma, beta, seed)
 
@@ -328,7 +372,7 @@ def get_pallas_train_loss_and_grad(sde: SDE, model: ScoreModelFC, *,
                                    reduce_mean: bool = False,
                                    likelihood_weighting: bool = False,
                                    eps: float = 1e-5,
-                                   batch_block: int = 512,
+                                   batch_block: Optional[int] = None,
                                    interpret: bool = False,
                                    compute_dtype=jnp.bfloat16):
     """Build ``fn(params, key, batch) -> (loss, grads)`` for continuous
@@ -452,7 +496,7 @@ def get_pallas_step_fn(sde: SDE, model: ScoreModelFC,
                        tx: optax.GradientTransformation, *,
                        reduce_mean: bool = False,
                        likelihood_weighting: bool = False,
-                       eps: float = 1e-5, batch_block: int = 512,
+                       eps: float = 1e-5, batch_block: Optional[int] = None,
                        interpret: bool = False,
                        compute_dtype=jnp.bfloat16):
     """Drop-in replacement for ``losses.get_step_fn(train=True, ...)`` with

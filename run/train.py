@@ -58,6 +58,19 @@ def parse_args(argv):
                         help="force per-dispatch batch uploads instead of "
                              "the HBM-resident dataset + index-window path "
                              "(auto-selected when the train tensor fits)")
+    parser.add_argument("--train-kernel", choices=("auto", "on", "off"),
+                        default="off",
+                        help="route the train step through the fused Pallas "
+                             "fwd+bwd kernel (ops/pallas/fused_train.py). "
+                             "Measured at PARITY with the XLA step on v5e "
+                             "(1.134 vs 1.131 ms/step - see PERFORMANCE.md), "
+                             "so the XLA step stays the default; the kernel "
+                             "is kept for configs/hardware where the balance "
+                             "differs. auto: use it on a single-device TPU "
+                             "mesh when the config is in kernel scope "
+                             "(continuous VP/subVP DSM, no auxiliary loss, "
+                             "positional embeddings, hidden%%128==0), else "
+                             "fall back; on: require it; off: never")
     parser.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="train steps scanned per device dispatch "
                              "(amortizes the ~25 ms per-dispatch RPC overhead "
@@ -205,6 +218,33 @@ def main(args):
     if config.training.batch_size % n_dev:
         raise ValueError(f"batch {config.training.batch_size} must be divisible "
                          f"by the {n_dev} mesh devices")
+    if args.train_kernel != "off":
+        # Fused fwd+bwd Pallas kernel (same step contract, composes with
+        # multi_step/_indexed). bf16 compute inside the kernel; the dropout
+        # stream differs from XLA's (on-core PRNG), which is a different
+        # but equally valid draw. Single-device scope: under a >1-device
+        # mesh GSPMD cannot partition the custom call, so auto falls back.
+        try:
+            if jax.default_backend() != "tpu":
+                raise NotImplementedError("pallas train kernel needs a TPU")
+            if n_dev > 1:
+                raise NotImplementedError(
+                    "pallas train kernel is single-device (use the XLA "
+                    "GSPMD step on multi-chip meshes)")
+            if step_kwargs:
+                raise NotImplementedError(
+                    "auxiliary body loss is outside the kernel scope")
+            if not config.training.continuous:
+                raise NotImplementedError("kernel scope is continuous DSM")
+            from dposer_tpu.ops.pallas.fused_train import get_pallas_step_fn
+            train_step = get_pallas_step_fn(
+                sde, model, tx, reduce_mean=config.training.reduce_mean,
+                likelihood_weighting=config.training.likelihood_weighting)
+            logger.info("train step: fused Pallas fwd+bwd kernel")
+        except NotImplementedError as e:
+            if args.train_kernel == "on":
+                raise
+            logger.info(f"pallas train kernel unavailable ({e}); XLA step")
     K = max(1, args.steps_per_dispatch)
     # No divisibility requirements: per-substep log triggers and the
     # crossed-a-multiple eval/save predicate below work for any K (the

@@ -200,9 +200,13 @@ def test_train_cli_smoke(workdir):
         "run.train", "--config", workdir["config"],
         "--dataset-folder", workdir["data_root"], "--version", "version1",
         "--bodymodel-path", "/nonexistent",  # body-model evals skipped
-        "--sample", "1", "--name", "smoke"], timeout=560)
+        "--sample", "1", "--name", "smoke",
+        # auto on a CPU backend must fall back to the XLA step with a log
+        # line, not crash (the kernel path itself is TPU-only)
+        "--train-kernel", "auto"], timeout=560)
     assert "Sample bpd" in out
     assert "Save checkpoint" in out
+    assert "pallas train kernel unavailable" in out
 
 
 def test_demo_fit_cli(workdir):
