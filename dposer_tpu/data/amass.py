@@ -175,20 +175,34 @@ class AMASSDataset:
             yield self.poses[idx]
 
     def train_index_batches(self, batch_size: int, seed: int = 0,
-                            drop_last: bool = True) -> Iterator[np.ndarray]:
+                            drop_last: bool = True,
+                            skip: int = 0) -> Iterator[np.ndarray]:
         """The SAME shuffled stream as :meth:`train_batches`, but yielding
         int32 row indices instead of gathered rows. Device-resident training
         (run.train) ships these 4-byte indices to the chip and gathers from
         the HBM-resident dataset there — the host->device traffic per step
         drops by the pose width (63x) and the per-batch host gather
-        disappears."""
+        disappears.
+
+        ``skip`` fast-forwards the stream by that many batches: skipped
+        epochs still draw their permutation (the RNG state must advance
+        identically), but nothing is gathered — ~20 ms per 1M-row epoch,
+        so resuming a 400k-step run costs seconds. run.train passes the
+        restored step so a preempted+resumed run trains on exactly the
+        rows an uninterrupted one would (the reference's DataLoader
+        restarts from scratch on resume)."""
         rng = np.random.default_rng(seed)
         n = len(self.poses)
+        end = n - (n % batch_size) if drop_last else n
+        per_epoch = (end + batch_size - 1) // batch_size
+        for _ in range(skip // per_epoch):
+            rng.permutation(n)
+        start = (skip % per_epoch) * batch_size
         while True:
             perm = rng.permutation(n)
-            end = n - (n % batch_size) if drop_last else n
-            for i in range(0, end, batch_size):
+            for i in range(start, end, batch_size):
                 yield perm[i:i + batch_size].astype(np.int32)
+            start = 0
 
     def eval_batches(self, batch_size: int, drop_last: bool = True) -> Iterator[np.ndarray]:
         n = len(self.poses)

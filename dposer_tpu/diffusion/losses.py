@@ -270,24 +270,27 @@ def multi_step(step_fn):
     """Scan ``K`` training steps in ONE dispatch (TPU-native amortization).
 
     ``fn(state, key, batches [K, B, D]) -> (state, loss_dict of [K])``.
-    Each substep consumes ``fold_in(key, j)`` and is numerically identical
-    to calling ``step_fn`` K times with those keys — only the per-step
-    host->device dispatch (~25 ms RPC latency on a tunneled chip,
-    us-level when directly attached) is amortized.
+    Each substep consumes ``fold_in(key, state.step)`` — the key is a pure
+    function of the GLOBAL step index, so with a fixed ``key`` the noise
+    stream is invariant to the dispatch factor K (one K-step dispatch ==
+    K single-step dispatches == the reference's per-step loop) and
+    deterministic across preemption/resume. Only the per-step host->device
+    dispatch (~25 ms RPC latency on a tunneled chip, us-level when
+    directly attached) is amortized.
     The reference dispatches per step from Python (ref train.py:245-247).
+
+    Train step fns only: an eval-mode ``step_fn`` (train=False) does not
+    advance ``state.step``, so every substep would draw the same key.
     """
     import jax
 
     def fn(state, key, batches):
-        keys = jax.vmap(lambda j: jax.random.fold_in(key, j))(
-            jnp.arange(batches.shape[0]))
-
-        def body(carry, inp):
-            k, batch = inp
+        def body(carry, batch):
+            k = jax.random.fold_in(key, carry.step)
             new_state, loss_dict = step_fn(carry, k, batch)
             return new_state, loss_dict
 
-        return jax.lax.scan(body, state, (keys, batches))
+        return jax.lax.scan(body, state, batches)
 
     return fn
 
@@ -311,13 +314,10 @@ def multi_step_indexed(step_fn):
     import jax
 
     def fn(state, key, idx, data):
-        keys = jax.vmap(lambda j: jax.random.fold_in(key, j))(
-            jnp.arange(idx.shape[0]))
-
-        def body(carry, inp):
-            k, rows = inp
+        def body(carry, rows):
+            k = jax.random.fold_in(key, carry.step)
             return step_fn(carry, k, data[rows])
 
-        return jax.lax.scan(body, state, (keys, idx))
+        return jax.lax.scan(body, state, idx)
 
     return fn

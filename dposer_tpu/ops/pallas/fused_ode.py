@@ -41,7 +41,7 @@ from .score_net import bind_fwd, build_network_operands, round_up as _round_up
 
 
 def _make_kernel(n_steps: int, n_blocks: int, hidden: int, n_tp_pad: int,
-                 denoise: bool, gn_vpu: bool, gridded: bool):
+                 denoise: bool, gn_vpu: bool):
     """refs = [coefs (SMEM [M, 8]), dcoefs (SMEM [1, 8]), x0,
     Wpre, W[2*n_blocks], Wpost, bpost, gn args, tp_hbm (ANY [M, 3*n_tp_pad, H]),
     out_ref, scratch: x_st, tp_buf [2, 3*n_tp_pad, H], sem_tp [2]].
@@ -176,7 +176,7 @@ def get_pallas_ode_sampler(sde: SDE, model: ScoreModelFC, params,
     dcoefs = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(cdx).at[0, 1].set(cdo)
 
     kernel = _make_kernel(M, n_blocks, hidden, n_tp_pad, denoise,
-                          net["gn_vpu"], gridded=n_blk > 1)
+                          net["gn_vpu"])
 
     def blocked(spec_shape, index_map):
         return pl.BlockSpec(spec_shape, index_map, memory_space=pltpu.VMEM)

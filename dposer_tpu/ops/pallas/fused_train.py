@@ -60,7 +60,6 @@ into three per-row coefficients (a, v, s) with
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
@@ -74,15 +73,8 @@ from ...diffusion.ema import ema_update
 from ...diffusion.sde import SDE, VPSDE, SubVPSDE
 from ...models.score_mlp import ScoreModelFC, get_sigmas
 from ...models.time_embedding import get_timestep_embedding
-from .score_net import GN_EPS, NUM_GROUPS, round_up
-
-
-def _uniform(shape):
-    """U[0,1) from the on-core PRNG (top 24 bits, exact int32 path)."""
-    bits = pltpu.prng_random_bits(shape)
-    shift = jnp.uint32(8)
-    top24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), shift)
-    return pltpu.bitcast(top24, jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
+from .score_net import (GN_EPS, NUM_GROUPS, group_indicator, round_up,
+                        unit_uniform as _uniform)
 
 
 def _make_kernel(n_blocks: int, batch: int, batch_blk: int, dim: int,
@@ -297,8 +289,7 @@ def _net_fwd_bwd(model: ScoreModelFC, params, x_pert, z, uvs, proj, seed,
     bpost = jnp.zeros((8, dim_p), jnp.float32).at[0, :dim].set(
         params["post_dense"]["bias"].astype(jnp.float32))
 
-    group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
-    ind = np.eye(NUM_GROUPS, dtype=np.float32)[group_ids]       # [H, 32]
+    ind = group_indicator(hidden)                               # [H, 32]
     G = jnp.zeros((hidden, 128), bf).at[:, :NUM_GROUPS].set(
         jnp.asarray(ind / (hidden // NUM_GROUPS), bf))
     Gt = jnp.zeros((128, hidden), bf).at[:NUM_GROUPS].set(jnp.asarray(ind.T, bf))
@@ -392,6 +383,20 @@ def get_pallas_train_loss_and_grad(sde: SDE, model: ScoreModelFC, *,
         raise NotImplementedError("pallas train step hardcodes SiLU")
     if model.hidden_dim % 128 or model.hidden_dim % NUM_GROUPS:
         raise NotImplementedError("pallas train step needs hidden % 128 == 0")
+    # Minimum-block VMEM estimate (batch-independent): for deep/wide models
+    # the resident W + W^T alone can exceed the budget, and that would
+    # otherwise surface as a Mosaic compile error at the FIRST DISPATCH —
+    # outside `run.train --train-kernel auto`'s fallback try/except. Raise
+    # the scope-guard exception at build time instead.
+    _n_tp = 1 + 2 * model.n_blocks
+    _dim_p = round_up(model.n_poses * model.pose_dim, 128)
+    _min_est = _vmem_estimate(128, 2, _n_tp, model.hidden_dim, _dim_p,
+                              model.n_blocks, compute_dtype)
+    if _min_est > VMEM_BUDGET:
+        raise NotImplementedError(
+            f"model too large for the fused train kernel's VMEM budget "
+            f"(hidden={model.hidden_dim}, n_blocks={model.n_blocks}: "
+            f"~{_min_est // 2**20} MB at the minimum 128-row block)")
 
     sigmas = None
     if model.scale_by_sigma:

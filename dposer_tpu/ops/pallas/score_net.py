@@ -36,23 +36,29 @@ def silu(x):
     return x * jax.nn.sigmoid(x)
 
 
+def unit_uniform(shape):
+    """U[0,1) from the on-core PRNG (top 24 bits). ``>>8`` clears the sign
+    bit, so the int32 reinterpretation is exact (Mosaic has no
+    uint32->f32 cast)."""
+    bits = pltpu.prng_random_bits(shape)
+    top24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32),
+                                        jnp.uint32(8))
+    return pltpu.bitcast(top24, jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
 def box_muller(shape):
     """Standard normals from the on-core PRNG (Box-Muller, cos branch)."""
-    scale = 1.0 / 16777216.0  # 2^-24
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
-    shift = jnp.uint32(8)
-
-    def to_unit(bits):
-        # >>8 clears the sign bit, so the int32 reinterpretation is exact
-        # (Mosaic has no uint32->f32 cast)
-        top24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), shift)
-        return pltpu.bitcast(top24, jnp.int32).astype(jnp.float32) * scale
-
-    u1 = to_unit(b1)
-    u2 = to_unit(b2)
+    u1 = unit_uniform(shape)
+    u2 = unit_uniform(shape)
     u1 = jnp.maximum(u1, 1e-12)
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
+
+
+def group_indicator(hidden: int) -> np.ndarray:
+    """[H, NUM_GROUPS] one-hot group-membership matrix (fp32 numpy) — the
+    shared basis of every group-mean-as-matmul GroupNorm path."""
+    group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
+    return np.eye(NUM_GROUPS, dtype=np.float32)[group_ids]
 
 
 def build_network_operands(model, params, dim: int, dim_p: int, labels,
@@ -134,8 +140,7 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
     else:
         # group-indicator matrix [H, NG], carrying 1/group_size so dot(h, G)
         # is the group mean directly (1/32 is exact in bf16)
-        group_ids = np.arange(hidden) // (hidden // NUM_GROUPS)
-        indicator = np.eye(NUM_GROUPS, dtype=np.float32)[group_ids]  # [H, NG]
+        indicator = group_indicator(hidden)  # [H, NG]
         G = jnp.asarray(indicator / (hidden // NUM_GROUPS), jnp.bfloat16)
         # transposed indicator with each GN's scale folded in: [n_tp, NG, H]
         Gts = jnp.stack([

@@ -78,7 +78,10 @@ def parse_args(argv):
                              "pure-device step floor — see PERFORMANCE.md. "
                              "Any value works: eval/save fire when a dispatch "
                              "crosses a freq multiple, and a final partial "
-                             "window runs step-by-step)")
+                             "window runs step-by-step. The training stream "
+                             "is invariant to K: per-step keys fold the "
+                             "global step index and one index stream feeds "
+                             "both dispatch modes)")
     return parser.parse_args(argv[1:])
 
 
@@ -326,9 +329,12 @@ def main(args):
     best_APD = 0.0
     step = int(state.step)
     # ONE index stream feeds both dispatch modes (and the single-step tail):
-    # the gathered values are identical either way
+    # the gathered values are identical either way. skip= fast-forwards past
+    # the restored step's batches, so together with the global-step noise
+    # keys below a preempted+resumed run reproduces the uninterrupted one
+    # exactly (CLI resume-determinism test pins this).
     idx_stream = train_dataset.train_index_batches(config.training.batch_size,
-                                                   seed=args.seed)
+                                                   seed=args.seed, skip=step)
 
     # graceful-preemption checkpointing (new capability; the reference
     # swallows all failures, ref train.py:406-410). On SIGTERM/SIGINT the
@@ -360,33 +366,48 @@ def main(args):
     trace_active = False
     trace_done = False
 
-    def stage_window():
+    def stage_window(n_steps_left):
         """Assemble the next K-step window and START its (async)
         host->device transfer — called right after a dispatch is enqueued,
         so the upload overlaps device compute instead of serializing with
         it. Device-resident mode stages a [K, B] int32 index window
         (~0.3 MB at K=64/B=1280); host mode stages the gathered rows
-        (~20 MB)."""
+        (~20 MB). Returns ``(rows, sharded_or_None)``: when fewer than K
+        steps remain, only the host-side index rows are drawn (no upload)
+        and the single-step tail consumes them, so the index stream stays
+        exactly sequential across dispatch modes."""
+        if n_steps_left <= 0:
+            return [], None
+        if n_steps_left < K:
+            return [next(idx_stream) for _ in range(n_steps_left)], None
+        rows = [next(idx_stream) for _ in range(K)]
         if device_data:
-            stack = np.stack([next(idx_stream) for _ in range(K)])
+            stack = np.stack(rows)
         else:
-            stack = np.stack([train_dataset.poses[next(idx_stream)]
-                              for _ in range(K)])
-        return par.shard_global_multi_batch(mesh, stack)
+            stack = np.stack([train_dataset.poses[r] for r in rows])
+        return rows, par.shard_global_multi_batch(mesh, stack)
 
-    staged = stage_window() if K > 1 else None
+    staged_rows, staged = (stage_window(num_train_steps - step)
+                           if K > 1 else ([], None))
+    # Per-step noise key = fold_in(train_key, GLOBAL step): a pure function
+    # of the step index, so the training stream is invariant to
+    # --steps-per-dispatch (CLI equality test pins K=1 == K>1 incl. the
+    # partial tail) and deterministic across preemption/resume — the
+    # reference's rolling torch RNG offers neither (ref train.py:245-247).
+    key, train_key = jax.random.split(key)
     while step < num_train_steps and not stop_requested["flag"]:
-        key, k_step = jax.random.split(key)
         if args.profile_dir and not trace_active and not trace_done \
                 and local_step >= 10:
             jax.profiler.start_trace(args.profile_dir)
             trace_active = True
         k_this = min(K, num_train_steps - step)
         if k_this == K and K > 1:
-            state, loss_dicts = (sharded_multi(state, k_step, staged, data_dev)
+            state, loss_dicts = (sharded_multi(state, train_key, staged,
+                                               data_dev)
                                  if device_data
-                                 else sharded_multi(state, k_step, staged))
-            staged = stage_window()  # overlap next upload with this dispatch
+                                 else sharded_multi(state, train_key, staged))
+            # overlap the next upload with this dispatch
+            staged_rows, staged = stage_window(num_train_steps - step - K)
             # ONE device->host transfer for the whole window: per-element
             # float() would pay a ~25 ms RPC per read on a tunneled chip
             # (128 reads/dispatch at K=64 — measured 10x slower end-to-end)
@@ -396,10 +417,12 @@ def main(args):
         else:  # K == 1, or the final partial window: single-step dispatches
             sub_losses = []
             for j in range(k_this):
-                batch = train_dataset.poses[next(idx_stream)]
-                # fold_in for EVERY substep incl. j=0, matching the multi_step
-                # dispatch path's substep key convention exactly
-                kj = jax.random.fold_in(k_step, j)
+                # the tail consumes the pre-drawn staged rows first so the
+                # stream stays sequential with the dispatch-window path
+                rows = staged_rows.pop(0) if staged_rows else next(idx_stream)
+                batch = train_dataset.poses[rows]
+                # global-step key, matching multi_step's substep convention
+                kj = jax.random.fold_in(train_key, step + j)
                 state, loss_dict = sharded_step(
                     state, kj, par.shard_global_batch(mesh, batch))
                 sub_losses.append({k: float(v) for k, v in loss_dict.items()})

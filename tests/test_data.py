@@ -94,6 +94,23 @@ def test_dataset_zscore_stats_and_batches(toy_dataset):
     np.testing.assert_allclose(np.asarray(rt), raw, atol=1e-5)
 
 
+def test_train_index_batches_skip_fast_forward(toy_dataset):
+    """skip=S reproduces the stream's batch S onward exactly — including
+    across epoch boundaries (200 rows / bs 16 -> 12 batches per epoch with
+    drop_last) — so a resumed run.train trains on the rows an
+    uninterrupted run would."""
+    ds = AMASSDataset(toy_dataset, version="version1", subset="train",
+                      rot_rep="axis", normalize=False)
+    full = ds.train_index_batches(16, seed=3)
+    ref = [next(full) for _ in range(30)]
+    for skip in (0, 1, 11, 12, 13, 25):  # within / at / past epoch edges
+        ff = ds.train_index_batches(16, seed=3, skip=skip)
+        got = [next(ff) for _ in range(4)]
+        np.testing.assert_array_equal(np.stack(got),
+                                      np.stack(ref[skip:skip + 4]),
+                                      err_msg=f"skip={skip}")
+
+
 def test_dataset_rot6d_and_sampling(toy_dataset):
     ds = AMASSDataset(toy_dataset, version="version1", subset="valid",
                       rot_rep="rot6d", normalize=False, sample_interval=2)

@@ -262,6 +262,32 @@ def test_multi_step_scan_matches_sequential_steps():
                                    atol=1e-7, err_msg=str(pa))
 
 
+def test_multi_step_key_is_global_step_indexed():
+    """The substep key folds the GLOBAL step (state.step), not the window
+    position: one K=4 dispatch == two K=2 dispatches with the same fixed
+    key (run.train's --steps-per-dispatch invariance; also what makes the
+    noise stream deterministic across preemption/resume)."""
+    from dposer_tpu.diffusion.losses import multi_step
+
+    _, _, state0, step_fn = _setup()
+    key = jax.random.PRNGKey(5)
+    batches = jax.random.normal(jax.random.PRNGKey(6), (4, 32, DIM))
+
+    fused = jax.jit(multi_step(step_fn))
+    state_a, la = fused(state0, key, batches)
+    state_b, l1 = fused(state0, key, batches[:2])
+    state_b, l2 = fused(state_b, key, batches[2:])
+
+    np.testing.assert_allclose(
+        np.asarray(la["step_loss"]),
+        np.concatenate([np.asarray(l1["step_loss"]),
+                        np.asarray(l2["step_loss"])]), rtol=1e-6)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(state_a.params),
+                               jax.tree_util.tree_leaves_with_path(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7, err_msg=str(pa))
+
+
 def test_data_parallel_multi_step_sharded():
     from dposer_tpu.diffusion.losses import multi_step
 
