@@ -149,3 +149,10 @@ def test_scope_guards():
                          n_blocks=2)
     with pytest.raises(NotImplementedError):
         get_pallas_train_loss_and_grad(VESDE(), model)
+    # deep/wide model whose resident W + W^T exceed the VMEM budget even at
+    # the minimum 128-row block: must refuse at BUILD time (inside
+    # run.train --train-kernel auto's fallback try), not at first dispatch
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=2048,
+                         embed_dim=512, n_blocks=8)
+    with pytest.raises(NotImplementedError, match="VMEM"):
+        get_pallas_train_loss_and_grad(SubVPSDE(), model)
