@@ -195,6 +195,11 @@ class AMASSDataset:
         n = len(self.poses)
         end = n - (n % batch_size) if drop_last else n
         per_epoch = (end + batch_size - 1) // batch_size
+        if per_epoch == 0:
+            raise ValueError(
+                f"batch_size {batch_size} > dataset size {n} with "
+                f"drop_last: the stream would yield nothing (reduce the "
+                f"batch or disable --sample subsampling)")
         for _ in range(skip // per_epoch):
             rng.permutation(n)
         start = (skip % per_epoch) * batch_size

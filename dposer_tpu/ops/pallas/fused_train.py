@@ -239,6 +239,24 @@ def _vmem_estimate(blk: int, n_blk: int, n_tp: int, hidden: int,
     return dbuf * (windows + rows) + scratch + weights
 
 
+def _pick_block(batch: int, n_tp: int, hidden: int, dim_p: int,
+                n_blocks: int, cdt):
+    """The auto batch-block choice for a given batch size: whole-batch
+    single block when the VMEM estimate fits (measured ~2.7x faster than
+    gridded — no window double-buffering, one grid step), else halve until
+    it does. Returns ``(blk, fits)`` — ``fits`` False means even the
+    128-row floor exceeds the budget for this batch's layout."""
+    blk = round_up(batch, 8)
+
+    def est(b):
+        n_blk = (round_up(batch, b) + b - 1) // b
+        return _vmem_estimate(b, n_blk, n_tp, hidden, dim_p, n_blocks, cdt)
+
+    while blk > 128 and est(blk) > VMEM_BUDGET:
+        blk = max(128, round_up((blk + 1) // 2, 8))
+    return blk, est(blk) <= VMEM_BUDGET
+
+
 def _net_fwd_bwd(model: ScoreModelFC, params, x_pert, z, uvs, proj, seed,
                  batch_blk: Optional[int], interpret: bool, cdt=jnp.bfloat16):
     """Invoke the kernel: returns (loss, dout [B, D], dh [n_tp, B, H],
@@ -249,15 +267,7 @@ def _net_fwd_bwd(model: ScoreModelFC, params, x_pert, z, uvs, proj, seed,
     n_tp = 1 + 2 * n_blocks
     dim_p = round_up(dim, 128)
     if batch_blk is None:
-        # Auto: the single-block layout measures ~2.7x faster than the
-        # gridded one at the flagship config (no window double-buffering,
-        # one grid step), so take the whole batch as one block when the
-        # VMEM estimate fits, else halve until it does.
-        blk = round_up(batch, 8)
-        while (blk > 128 and _vmem_estimate(
-                blk, (round_up(batch, blk) + blk - 1) // blk, n_tp, hidden,
-                dim_p, n_blocks, cdt) > VMEM_BUDGET):
-            blk = round_up((blk + 1) // 2, 8)
+        blk, _ = _pick_block(batch, n_tp, hidden, dim_p, n_blocks, cdt)
     else:
         blk = min(round_up(batch, 8), batch_blk)
     batch_p = round_up(batch, blk)
@@ -365,7 +375,8 @@ def get_pallas_train_loss_and_grad(sde: SDE, model: ScoreModelFC, *,
                                    eps: float = 1e-5,
                                    batch_block: Optional[int] = None,
                                    interpret: bool = False,
-                                   compute_dtype=jnp.bfloat16):
+                                   compute_dtype=jnp.bfloat16,
+                                   batch_hint: Optional[int] = None):
     """Build ``fn(params, key, batch) -> (loss, grads)`` for continuous
     VP/subVP DSM training — the kernel-backed replacement of
     ``jax.value_and_grad(get_sde_loss_fn(...))``.
@@ -383,20 +394,27 @@ def get_pallas_train_loss_and_grad(sde: SDE, model: ScoreModelFC, *,
         raise NotImplementedError("pallas train step hardcodes SiLU")
     if model.hidden_dim % 128 or model.hidden_dim % NUM_GROUPS:
         raise NotImplementedError("pallas train step needs hidden % 128 == 0")
-    # Minimum-block VMEM estimate (batch-independent): for deep/wide models
-    # the resident W + W^T alone can exceed the budget, and that would
-    # otherwise surface as a Mosaic compile error at the FIRST DISPATCH —
-    # outside `run.train --train-kernel auto`'s fallback try/except. Raise
-    # the scope-guard exception at build time instead.
+    # Build-time VMEM scope check: an over-budget layout would otherwise
+    # surface as a Mosaic compile error at the FIRST DISPATCH — outside
+    # `run.train --train-kernel auto`'s fallback try/except. Without a
+    # batch hint only the most favorable reachable layout (single 128-row
+    # block) can be rejected — for deep/wide models whose resident W + W^T
+    # alone exceed the budget; with ``batch_hint`` the exact auto-selected
+    # layout for that batch is checked.
     _n_tp = 1 + 2 * model.n_blocks
     _dim_p = round_up(model.n_poses * model.pose_dim, 128)
-    _min_est = _vmem_estimate(128, 2, _n_tp, model.hidden_dim, _dim_p,
-                              model.n_blocks, compute_dtype)
-    if _min_est > VMEM_BUDGET:
-        raise NotImplementedError(
-            f"model too large for the fused train kernel's VMEM budget "
-            f"(hidden={model.hidden_dim}, n_blocks={model.n_blocks}: "
-            f"~{_min_est // 2**20} MB at the minimum 128-row block)")
+    _checks = [(128, "at the minimum 128-row single block")]
+    if batch_hint is not None:
+        _checks.append((batch_hint, f"for batch {batch_hint}"))
+    for _b, _what in _checks:
+        _blk, _fits = _pick_block(_b, _n_tp, model.hidden_dim, _dim_p,
+                                  model.n_blocks, compute_dtype)
+        if not _fits:
+            raise NotImplementedError(
+                f"model too large for the fused train kernel's VMEM budget "
+                f"(hidden={model.hidden_dim}, n_blocks={model.n_blocks}, "
+                f"~{_vmem_estimate(_blk, 2, _n_tp, model.hidden_dim, _dim_p, model.n_blocks, compute_dtype) // 2**20}"
+                f" MB {_what})")
 
     sigmas = None
     if model.scale_by_sigma:
@@ -503,7 +521,8 @@ def get_pallas_step_fn(sde: SDE, model: ScoreModelFC,
                        likelihood_weighting: bool = False,
                        eps: float = 1e-5, batch_block: Optional[int] = None,
                        interpret: bool = False,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16,
+                       batch_hint: Optional[int] = None):
     """Drop-in replacement for ``losses.get_step_fn(train=True, ...)`` with
     the network fwd/bwd running as one Pallas kernel. Same contract:
     ``step_fn(state, key, batch) -> (state, loss_dict)`` — composes with
@@ -512,7 +531,7 @@ def get_pallas_step_fn(sde: SDE, model: ScoreModelFC,
         sde, model, reduce_mean=reduce_mean,
         likelihood_weighting=likelihood_weighting, eps=eps,
         batch_block=batch_block, interpret=interpret,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, batch_hint=batch_hint)
 
     def step_fn(state, key, batch):
         loss, grads = lg(state.params, key, batch)

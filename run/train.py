@@ -242,7 +242,8 @@ def main(args):
             from dposer_tpu.ops.pallas.fused_train import get_pallas_step_fn
             train_step = get_pallas_step_fn(
                 sde, model, tx, reduce_mean=config.training.reduce_mean,
-                likelihood_weighting=config.training.likelihood_weighting)
+                likelihood_weighting=config.training.likelihood_weighting,
+                batch_hint=config.training.batch_size)
             logger.info("train step: fused Pallas fwd+bwd kernel")
         except NotImplementedError as e:
             if args.train_kernel == "on":

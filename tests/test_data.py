@@ -109,6 +109,10 @@ def test_train_index_batches_skip_fast_forward(toy_dataset):
         np.testing.assert_array_equal(np.stack(got),
                                       np.stack(ref[skip:skip + 4]),
                                       err_msg=f"skip={skip}")
+    # batch > dataset with drop_last would yield nothing forever: must
+    # fail loudly naming the sizes, not hang or ZeroDivisionError
+    with pytest.raises(ValueError, match="dataset size"):
+        next(ds.train_index_batches(4096, seed=3))
 
 
 def test_dataset_rot6d_and_sampling(toy_dataset):

@@ -156,3 +156,13 @@ def test_scope_guards():
                          embed_dim=512, n_blocks=8)
     with pytest.raises(NotImplementedError, match="VMEM"):
         get_pallas_train_loss_and_grad(SubVPSDE(), model)
+    # boundary model (hidden=2176, n_blocks=2): a small batch runs
+    # single-block within budget — building without a hint must succeed —
+    # but the flagship batch cannot fit any layout, so the batch_hint
+    # check refuses at build time
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=2176,
+                         embed_dim=512, n_blocks=2)
+    get_pallas_train_loss_and_grad(SubVPSDE(), model)
+    get_pallas_train_loss_and_grad(SubVPSDE(), model, batch_hint=128)
+    with pytest.raises(NotImplementedError, match="VMEM"):
+        get_pallas_train_loss_and_grad(SubVPSDE(), model, batch_hint=1280)
