@@ -4,7 +4,11 @@ Flagship model (1024/512/2), reference batch 1280 (ref
 configs/default_amass_configs.py:22). K steps scanned per dispatch amortize
 the ~25-30 us tunneled dispatch overhead.
 
-    python -u benchmarks/time_train.py
+    python -u benchmarks/time_train.py            # XLA step (the default)
+    python -u benchmarks/time_train.py --kernel   # fused Pallas train step
+
+--kernel reproduces the PERFORMANCE.md "fused train-step kernel" A/B
+(measured: PARITY — 1.134 vs 1.131 ms/step through the indexed path).
 """
 import os
 import sys
@@ -26,7 +30,7 @@ from dposer_tpu.models.score_mlp import make_model_apply
 BATCH, DIM = 1280, 63
 
 
-def build():
+def build(kernel: bool = False):
     model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=1024, embed_dim=512,
                          n_blocks=2, dropout=0.1)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, DIM)),
@@ -37,9 +41,14 @@ def build():
         grad_clip=1.0, weight_decay=0))
     c.model = ml_collections.ConfigDict(dict(ema_rate=0.9999))
     state, tx = losses_lib.init_train_state(c, params)
-    step_fn = losses_lib.get_step_fn(SubVPSDE(N=1000), train=True,
-                                     model_apply=make_model_apply(model),
-                                     tx=tx, reduce_mean=True)
+    if kernel:
+        from dposer_tpu.ops.pallas.fused_train import get_pallas_step_fn
+        step_fn = get_pallas_step_fn(SubVPSDE(N=1000), model, tx,
+                                     reduce_mean=True, batch_hint=BATCH)
+    else:
+        step_fn = losses_lib.get_step_fn(SubVPSDE(N=1000), train=True,
+                                         model_apply=make_model_apply(model),
+                                         tx=tx, reduce_mean=True)
     return state, step_fn
 
 
@@ -47,7 +56,10 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     from dposer_tpu import parallel as par
 
-    state0, step_fn = build()
+    kernel = "--kernel" in sys.argv[1:]
+    if kernel:
+        print("train step: fused Pallas fwd+bwd kernel", flush=True)
+    state0, step_fn = build(kernel=kernel)
     mesh = par.make_mesh()
     # commit to the programs' replicated in_sharding up front — an
     # uncommitted first-call state doubles every K's compile (see run.train)
