@@ -6,9 +6,16 @@ the ~25-30 us tunneled dispatch overhead.
 
     python -u benchmarks/time_train.py            # XLA step (the default)
     python -u benchmarks/time_train.py --kernel   # fused Pallas train step
+    python -u benchmarks/time_train.py --bf16     # bf16 network compute
 
 --kernel reproduces the PERFORMANCE.md "fused train-step kernel" A/B
 (measured: PARITY — 1.134 vs 1.131 ms/step through the indexed path).
+--bf16 casts the params + input to bf16 inside the loss (fp32 master
+weights and optimizer; the same cast the fused kernel applies) — probes
+how much of the step is fp32 activation traffic. Expected small: matmuls
+already run single-pass bf16 under the default TPU dot precision, and
+the kernel-parity result shows the floor sits in dW + optimizer +
+per-step overheads.
 """
 import os
 import sys
@@ -30,7 +37,7 @@ from dposer_tpu.models.score_mlp import make_model_apply
 BATCH, DIM = 1280, 63
 
 
-def build(kernel: bool = False):
+def build(kernel: bool = False, bf16: bool = False):
     model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=1024, embed_dim=512,
                          n_blocks=2, dropout=0.1)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, DIM)),
@@ -46,8 +53,17 @@ def build(kernel: bool = False):
         step_fn = get_pallas_step_fn(SubVPSDE(N=1000), model, tx,
                                      reduce_mean=True, batch_hint=BATCH)
     else:
+        model_apply = make_model_apply(model)
+        if bf16:
+            fp32_apply = model_apply
+
+            def model_apply(p, x, t, *a, **kw):
+                pb = jax.tree.map(lambda v: v.astype(jnp.bfloat16), p)
+                return fp32_apply(pb, x.astype(jnp.bfloat16), t, *a, **kw
+                                  ).astype(jnp.float32)
+
         step_fn = losses_lib.get_step_fn(SubVPSDE(N=1000), train=True,
-                                         model_apply=make_model_apply(model),
+                                         model_apply=model_apply,
                                          tx=tx, reduce_mean=True)
     return state, step_fn
 
@@ -57,9 +73,12 @@ def main():
     from dposer_tpu import parallel as par
 
     kernel = "--kernel" in sys.argv[1:]
+    bf16 = "--bf16" in sys.argv[1:]
     if kernel:
         print("train step: fused Pallas fwd+bwd kernel", flush=True)
-    state0, step_fn = build(kernel=kernel)
+    elif bf16:
+        print("train step: XLA, bf16 network compute", flush=True)
+    state0, step_fn = build(kernel=kernel, bf16=bf16)
     mesh = par.make_mesh()
     # commit to the programs' replicated in_sharding up front — an
     # uncommitted first-call state doubles every K's compile (see run.train)
