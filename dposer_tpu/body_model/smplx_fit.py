@@ -28,6 +28,12 @@ class SMPLXFit:
                             model_type="smplx", vertex_ids=vertex_ids)
         joints = [constants.JOINT_MAP[name] for name in constants.JOINT_NAMES]
         joints[:25] = constants.SMPLX_OPENPOSE_MAP  # ref smpl.py:54-57
+        # Reference-faithful quirk (ref smpl.py fixes ONLY joints[:25]):
+        # the 24 ground-truth rows keep SPIN's SMPL+extra-regressor indices,
+        # which in the SMPL-X Jtr layout land on finger/eye joints. They are
+        # only consumed by camera_fitting_loss's gt fallback when a sample's
+        # OpenPose hip+shoulder confidences are ALL zero — same behavior,
+        # pinned against the reference in test_vendored_tables.py.
         self.joint_map = np.asarray(joints, np.int64)
 
         mean = np.load(mean_params_path or constants.SMPL_MEAN_PATH)

@@ -60,7 +60,11 @@ def load_body_model_npz(path: str, model_type: str = "smplx", num_betas: int = 1
 
         with open(path, "rb") as f:
             data = pickle.load(f, encoding="latin1")
-        data = {k: np.asarray(v) if not isinstance(v, (int, float, str)) else v
+        # canonical SMPL pkls store J_regressor as a scipy sparse matrix;
+        # densify BEFORE np.asarray (which would wrap it in a 0-d object
+        # array and break the float32 conversion downstream)
+        data = {k: (v.toarray() if hasattr(v, "toarray") else np.asarray(v))
+                if not isinstance(v, (int, float, str)) else v
                 for k, v in data.items()}
     else:
         with np.load(path, allow_pickle=True) as f:
@@ -83,9 +87,10 @@ def load_body_model_npz(path: str, model_type: str = "smplx", num_betas: int = 1
     if posedirs.ndim == 3:  # [V, 3, P] -> [P, V*3]
         posedirs = posedirs.reshape(num_verts * 3, -1).T
 
-    J_regressor = np.asarray(data["J_regressor"], np.float32)
-    if hasattr(J_regressor, "toarray"):
-        J_regressor = J_regressor.toarray()
+    J_reg = data["J_regressor"]
+    if hasattr(J_reg, "toarray"):  # scipy sparse (npz allow_pickle path)
+        J_reg = J_reg.toarray()
+    J_regressor = np.asarray(J_reg, np.float32)
 
     parents = np.asarray(data["kintree_table"])[0].astype(np.int64)
     parents[0] = 0  # root marker is often 2^32-1

@@ -84,8 +84,10 @@ class AMASSDataset:
         self.real_data_len = len(self.poses)
 
     # -- data ----------------------------------------------------------------
-    def _read_data(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        data_path = os.path.join(self.root_path, self.version, self.subset)
+    def _read_data(self, subset: Optional[str] = None
+                   ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        data_path = os.path.join(self.root_path, self.version,
+                                 subset or self.subset)
         poses = _load_tensor_file(os.path.join(data_path, "pose_body.pt"))
         poses = np.asarray(poses, np.float32)
         shapes = None
@@ -101,28 +103,60 @@ class AMASSDataset:
         return os.path.join(self.root_path, self.version, "train", self.rot_rep + suffix + ".pt")
 
     def _load_or_compute_stats(self) -> Dict[str, Optional[np.ndarray]]:
+        """Load the cached train-split normalization params, or compute and
+        cache them — always FROM THE TRAIN SPLIT. The reference computes
+        from whatever subset happens to be loaded (ref AMASS.py:95-121,
+        despite its own "Use train dataset for normalize computing"
+        comment), so a test-first run on a fresh machine would silently
+        normalize with test-derived stats AND poison the shared cache for
+        every later run; here a non-train dataset reads the train split's
+        tensors to compute them (full split, no subsample)."""
         path = self._stats_path()
+        keys = (("min_poses", "max_poses", "min_shapes", "max_shapes")
+                if self.min_max else
+                ("mean_poses", "std_poses", "mean_shapes", "std_shapes"))
         try:
-            return {k: (None if v is None else np.asarray(v, np.float32))
-                    for k, v in _load_tensor_file(path).items()}
+            raw = _load_tensor_file(path)
+            out: Dict[str, Optional[np.ndarray]] = {}
+            for k in keys:
+                v = raw.get(k)
+                # absent keys and legacy 0-d NaN placeholders both mean
+                # "no shape stats" — never normalize by NaN
+                if v is None or (np.ndim(v) == 0 and not np.isfinite(v).all()):
+                    out[k] = None
+                else:
+                    out[k] = np.asarray(v, np.float32)
+            return out
         except FileNotFoundError:
             pass
+        if self.subset == "train":
+            # reference-identical: stats over the loaded (possibly
+            # subsampled) train tensor
+            poses, shapes = self.poses, self.shapes
+        else:
+            try:
+                poses, shapes = self._read_data("train")
+            except FileNotFoundError as e:
+                raise FileNotFoundError(
+                    f"normalization stats missing at {path} and no train "
+                    f"split to compute them from ({e}); prepare the train "
+                    f"split or copy the reference's cached stats") from None
         if self.min_max:
             stats = {
-                "min_poses": self.poses.min(0), "max_poses": self.poses.max(0),
-                "min_shapes": self.shapes.min(0) if self.return_shape else None,
-                "max_shapes": self.shapes.max(0) if self.return_shape else None,
+                "min_poses": poses.min(0), "max_poses": poses.max(0),
+                "min_shapes": shapes.min(0) if shapes is not None else None,
+                "max_shapes": shapes.max(0) if shapes is not None else None,
             }
         else:
             stats = {
-                "mean_poses": self.poses.mean(0),
+                "mean_poses": poses.mean(0),
                 # torch.std defaults to Bessel correction (ddof=1), ref AMASS.py:110
-                "std_poses": self.poses.std(0, ddof=1),
-                "mean_shapes": self.shapes.mean(0) if self.return_shape else None,
-                "std_shapes": self.shapes.std(0, ddof=1) if self.return_shape else None,
+                "std_poses": poses.std(0, ddof=1),
+                "mean_shapes": shapes.mean(0) if shapes is not None else None,
+                "std_shapes": shapes.std(0, ddof=1) if shapes is not None else None,
             }
         np.savez(os.path.splitext(path)[0] + ".npz",
-                 **{k: (np.nan if v is None else v) for k, v in stats.items()})
+                 **{k: v for k, v in stats.items() if v is not None})
         return stats
 
     def _normalize_in_place(self):
@@ -141,7 +175,11 @@ class AMASSDataset:
                 self.shapes = (self.shapes - self.mean_shapes) / self.std_shapes
 
     def Denormalize(self, poses, shapes=None):
-        """Inverse of the in-place normalization (ref AMASS.py:135-181)."""
+        """Inverse of the in-place normalization (ref AMASS.py:135-181).
+        With ``normalize=False`` this is the identity (the reference would
+        crash on its unset stats attributes)."""
+        if not self.normalize:
+            return poses if shapes is None else (poses, shapes)
         poses = jnp.asarray(poses)
         if self.min_max:
             mn, mx = jnp.asarray(self.min_poses), jnp.asarray(self.max_poses)

@@ -13,6 +13,11 @@ import numpy as np
 
 def split_npz(npz_fname: str, output_base_dir: str, seq_len: int = 60):
     cdata = np.load(npz_fname, allow_pickle=True)
+    if "poses" not in cdata:
+        # AMASS subject dirs also ship non-mocap npz (e.g. *_shape.npz,
+        # *_stagei.npz); skip them instead of aborting the whole walk
+        print(f"skipping {npz_fname} (no 'poses' key)")
+        return
     fullpose = cdata["poses"]
     pose_body = fullpose[:, 3:66]
     root_orient = fullpose[:, :3]

@@ -67,8 +67,10 @@ def prepare_split(split_name: str, ds_names, amass_dir: str, out_dir: str,
 
     split_dir = os.path.join(out_dir, split_name)
     os.makedirs(split_dir, exist_ok=True)
+    empty_width = {"pose_body": 63, "root_orient": 3, "betas": num_betas}
     for k, v in fields.items():
-        arr = np.concatenate(v) if v else np.zeros((0, 63), np.float32)
+        arr = (np.concatenate(v) if v
+               else np.zeros((0, empty_width[k]), np.float32))
         _save(os.path.join(split_dir, f"{k}.pt"), arr)
         print(f"{split_name}/{k}: {arr.shape}")
 

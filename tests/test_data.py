@@ -115,6 +115,49 @@ def test_train_index_batches_skip_fast_forward(toy_dataset):
         next(ds.train_index_batches(4096, seed=3))
 
 
+def test_stats_computed_from_train_even_when_test_loads_first(toy_dataset):
+    """A test-split dataset on a machine with no stats cache must compute
+    the normalization params FROM THE TRAIN SPLIT (the reference computes
+    from whatever subset is loaded, silently mis-normalizing and poisoning
+    the shared cache for every later run)."""
+    ds_test = AMASSDataset(toy_dataset, version="version1", subset="test",
+                           rot_rep="axis", normalize=True, min_max=False)
+    train_raw = AMASSDataset(toy_dataset, version="version1", subset="train",
+                             rot_rep="axis", normalize=False).poses
+    np.testing.assert_allclose(ds_test.mean_poses, train_raw.mean(0), atol=1e-6)
+    np.testing.assert_allclose(ds_test.std_poses, train_raw.std(0, ddof=1),
+                               atol=1e-6)
+    # the cache it wrote is the train-split cache -> a train run reuses it
+    # and lands at ~N(0,1)
+    ds_train = AMASSDataset(toy_dataset, version="version1", subset="train",
+                            rot_rep="axis", normalize=True, min_max=False)
+    np.testing.assert_allclose(ds_train.poses.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(ds_train.poses.std(0, ddof=1), 1.0, atol=1e-4)
+
+
+def test_shape_stats_cache_round_trip_without_shapes(toy_dataset):
+    """A no-shapes run writes the stats cache; a later return_shape=True
+    run must compute/keep FINITE shapes (never normalize by the legacy NaN
+    placeholder) and poses must normalize identically."""
+    AMASSDataset(toy_dataset, version="version1", subset="train",
+                 rot_rep="axis", normalize=True, min_max=True)  # writes cache
+    ds = AMASSDataset(toy_dataset, version="version1", subset="train",
+                      rot_rep="axis", normalize=True, min_max=True,
+                      return_shape=True)
+    assert np.isfinite(ds.poses).all()
+    assert np.isfinite(ds.shapes).all()  # NaN stats would poison these
+
+
+def test_denormalize_identity_when_normalization_off(toy_dataset):
+    ds = AMASSDataset(toy_dataset, version="version1", subset="train",
+                      rot_rep="axis", normalize=False)
+    x = ds.poses[:4]
+    np.testing.assert_array_equal(np.asarray(ds.Denormalize(x)), x)
+    p, s = ds.Denormalize(x, np.ones((4, 10)))
+    np.testing.assert_array_equal(np.asarray(p), x)
+    np.testing.assert_array_equal(np.asarray(s), np.ones((4, 10)))
+
+
 def test_dataset_rot6d_and_sampling(toy_dataset):
     ds = AMASSDataset(toy_dataset, version="version1", subset="valid",
                       rot_rep="rot6d", normalize=False, sample_interval=2)
