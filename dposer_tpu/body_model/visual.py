@@ -73,8 +73,15 @@ def rasterize_mesh(verts: np.ndarray, faces: np.ndarray, height: int, width: int
     mask = np.zeros((height, width), bool)
     color = np.asarray(base_color, np.float64)
 
+    # cull faces that touch the near plane (same rule as the C++ path): a
+    # z-clamped behind-camera vertex projects ~1e8 px out and its tiny z
+    # would beat the whole z-buffer, smearing one face across the frame
+    ok_faces = (verts[faces][:, :, 2] > 1e-6).all(1)
+
     order = np.argsort(-tri_z.mean(1))  # far-to-near helps cache behavior
     for f in order:
+        if not ok_faces[f]:
+            continue
         t = tri[f]
         x0, y0 = np.floor(t.min(0)).astype(int)
         x1, y1 = np.ceil(t.max(0)).astype(int)

@@ -23,6 +23,18 @@ def _source_hash() -> str:
     for name in sorted(os.listdir(_SRC_DIR)):
         with open(os.path.join(_SRC_DIR, name), "rb") as f:
             h.update(f.read())
+    # -march=native output is host-ISA-specific and the flags depend on the
+    # compiler: key the cache by toolchain + machine too, so a shared cache
+    # dir (NFS home across heterogeneous nodes) never serves a SIGILL .so
+    # and a compiler upgrade invalidates cleanly
+    for flag in ("-dumpfullversion", "-dumpmachine"):
+        try:
+            h.update(subprocess.run(["g++", flag], capture_output=True,
+                                    text=True).stdout.encode())
+        except OSError:
+            pass
+    import platform
+    h.update(platform.machine().encode())
     return h.hexdigest()[:16]
 
 
@@ -35,10 +47,14 @@ def build_lib(force: bool = False) -> str:
         return lib_path
     srcs = [os.path.join(_SRC_DIR, n) for n in sorted(os.listdir(_SRC_DIR))
             if n.endswith(".cpp")]
+    # per-process temp name: concurrent first-use builds (pytest workers,
+    # parallel eval jobs) must not interleave writes to one .tmp file and
+    # os.replace a corrupted .so into the persistent cache
+    tmp_path = f"{lib_path}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", "-o", lib_path + ".tmp", *srcs]
+           "-pthread", "-o", tmp_path, *srcs]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
-    os.replace(lib_path + ".tmp", lib_path)
+    os.replace(tmp_path, lib_path)
     return lib_path
 
 

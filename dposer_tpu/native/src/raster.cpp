@@ -31,6 +31,12 @@ void rasterize(const float *verts, int n_verts, const int32_t *faces,
 
   for (int f = 0; f < n_faces; ++f) {
     const int i0 = faces[3 * f], i1 = faces[3 * f + 1], i2 = faces[3 * f + 2];
+    // cull faces that touch the near plane: the z-clamped projection of a
+    // behind-camera vertex lands at ~1e8 px and its z (1e-6) beats the
+    // whole z-buffer, smearing one face across the frame
+    if (verts[3 * i0 + 2] <= 1e-6f || verts[3 * i1 + 2] <= 1e-6f ||
+        verts[3 * i2 + 2] <= 1e-6f)
+      continue;
     // face normal in camera space
     float e0[3], e1[3];
     for (int k = 0; k < 3; ++k) {

@@ -45,12 +45,13 @@ def self_intersections_percentage(vertices, faces) -> np.ndarray:
     """
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int32)
+    n_meshes = 1 if vertices.ndim == 2 else len(vertices)
     try:
         from ..native import mesh_si
 
         return mesh_si.self_intersections_percentage(vertices, faces)
     except Exception:
-        return np.full(len(vertices), np.nan)
+        return np.full(n_meshes, np.nan)
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +84,16 @@ class Evaler:
                     self.vert_idx = slice(None)
                 else:
                     self.vert_idx = vert_idx
-            except (FileNotFoundError, KeyError, AttributeError):
+            except (FileNotFoundError, KeyError, AttributeError) as e:
+                # only legitimate for synthetic/reduced test models; on a
+                # real mesh a silent all-vertices fallback would report a
+                # full-mesh MPVPE labeled as part-wise — say so loudly
+                import warnings
+
+                warnings.warn(
+                    f"part '{part}' vertex segmentation unavailable ({e}); "
+                    f"scoring ALL vertices — part-wise MPVPE will actually "
+                    f"be full-mesh MPVPE", RuntimeWarning)
                 self.vert_idx = slice(None)
         else:
             self.joint_idx = slice(None)

@@ -44,9 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...diffusion.fast_sampler import (_corrector_tables, _em_tables,
-                                       _imputation_tables, _labels_for,
-                                       _pred_tables)
+from ...diffusion.fast_sampler import (_corrector_tables, _imputation_tables,
+                                       _labels_for, _pred_tables)
 from ...diffusion.sde import SDE
 from ...models.score_mlp import ScoreModelFC
 from .score_net import (bind_fwd, box_muller as _box_muller,

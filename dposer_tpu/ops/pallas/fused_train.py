@@ -394,6 +394,13 @@ def get_pallas_train_loss_and_grad(sde: SDE, model: ScoreModelFC, *,
         raise NotImplementedError("pallas train step hardcodes SiLU")
     if model.hidden_dim % 128 or model.hidden_dim % NUM_GROUPS:
         raise NotImplementedError("pallas train step needs hidden % 128 == 0")
+    if model.n_blocks > 3:
+        # gamma/beta ship as [8, H] rows and dgn as [16, H] (8 dgamma +
+        # 8 dbeta), sized for n_tp = 1 + 2*n_blocks <= 7; deeper models
+        # would silently drop the out-of-bounds GN rows (JAX scatter) —
+        # refuse instead so callers fall back to the XLA step
+        raise NotImplementedError(
+            "pallas train step supports n_blocks <= 3 (8-row GN tables)")
     # Build-time VMEM scope check: an over-budget layout would otherwise
     # surface as a Mosaic compile error at the FIRST DISPATCH — outside
     # `run.train --train-kernel auto`'s fallback try/except. Without a

@@ -24,11 +24,17 @@ def linear_interpolation(A: jnp.ndarray, B: jnp.ndarray, frames: int) -> jnp.nda
 
 
 def slerp_interpolation(A: jnp.ndarray, B: jnp.ndarray, frames: int) -> jnp.ndarray:
-    """Spherical interpolation between two flat latents (ref misc.py:64-69)."""
+    """Spherical interpolation between two flat latents (ref misc.py:64-69).
+    Degenerates to linear interpolation for (anti)parallel inputs, where
+    sin(omega)=0 would make the slerp weights NaN (the reference NaNs)."""
     omega = jnp.arccos(jnp.clip((A * B).sum() / (jnp.linalg.norm(A) * jnp.linalg.norm(B)), -1.0, 1.0))
     alpha = jnp.linspace(0.0, 1.0, frames)[:, None]
     so = jnp.sin(omega)
-    return (jnp.sin((1 - alpha) * omega) / so) * A + (jnp.sin(alpha * omega) / so) * B
+    safe = jnp.where(jnp.abs(so) < 1e-7, 1.0, so)
+    slerp = (jnp.sin((1 - alpha) * omega) / safe) * A \
+        + (jnp.sin(alpha * omega) / safe) * B
+    return jnp.where(jnp.abs(so) < 1e-7, linear_interpolation(A, B, frames),
+                     slerp)
 
 
 def _conv1d_same(data: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:

@@ -15,15 +15,20 @@ def create_logger(output_dir: str = "output", train_dataset: str = "amass",
     final_output_dir = os.path.join(output_dir, f"{train_dataset}_{test_dataset}", run_name)
     os.makedirs(final_output_dir, exist_ok=True)
 
-    logger = logging.getLogger(run_name)
+    # phase in the logger name: two create_logger calls landing on the same
+    # wall-clock second (train then test) must not share a logger and
+    # double-emit through each other's handlers
+    logger = logging.getLogger(f"{run_name}:{phase}")
     logger.setLevel(logging.INFO)
-    fmt = logging.Formatter("%(asctime)-15s %(message)s")
-    fh = logging.FileHandler(os.path.join(final_output_dir, f"{phase}.log"))
-    fh.setFormatter(fmt)
-    ch = logging.StreamHandler()
-    ch.setFormatter(fmt)
-    logger.addHandler(fh)
-    logger.addHandler(ch)
+    logger.propagate = False  # root-logger config must not duplicate lines
+    if not logger.handlers:  # same (run, phase) re-requested: reuse as-is
+        fmt = logging.Formatter("%(asctime)-15s %(message)s")
+        fh = logging.FileHandler(os.path.join(final_output_dir, f"{phase}.log"))
+        fh.setFormatter(fmt)
+        ch = logging.StreamHandler()
+        ch.setFormatter(fmt)
+        logger.addHandler(fh)
+        logger.addHandler(ch)
     return logger, final_output_dir
 
 

@@ -149,11 +149,17 @@ def test_scope_guards():
                          n_blocks=2)
     with pytest.raises(NotImplementedError):
         get_pallas_train_loss_and_grad(VESDE(), model)
-    # deep/wide model whose resident W + W^T exceed the VMEM budget even at
-    # the minimum 128-row block: must refuse at BUILD time (inside
-    # run.train --train-kernel auto's fallback try), not at first dispatch
+    # deeper than the 8-row GN tables support: refuse (silent OOB-row
+    # drops otherwise)
     model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=2048,
                          embed_dim=512, n_blocks=8)
+    with pytest.raises(NotImplementedError, match="n_blocks"):
+        get_pallas_train_loss_and_grad(SubVPSDE(), model)
+    # wide model whose resident W + W^T exceed the VMEM budget even at
+    # the minimum 128-row block: must refuse at BUILD time (inside
+    # run.train --train-kernel auto's fallback try), not at first dispatch
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=4096,
+                         embed_dim=512, n_blocks=3)
     with pytest.raises(NotImplementedError, match="VMEM"):
         get_pallas_train_loss_and_grad(SubVPSDE(), model)
     # boundary model (hidden=2176, n_blocks=2): a small batch runs

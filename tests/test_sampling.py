@@ -213,3 +213,19 @@ def test_guided_em_update_pulls_masked_dims_to_observation():
     assert err_guided < 0.35 * err_plain, (err_guided, err_plain)
     # free dims still look like the prior's samples (mean near M0)
     assert abs(x_guided[:, 2:].mean() - M0) < 0.3, x_guided[:, 2:].mean()
+
+
+def test_slerp_degenerates_to_linear_for_parallel_inputs():
+    """sin(omega)=0 (identical or antiparallel latents) must yield finite
+    frames — the linear blend — not NaN (the reference NaNs here)."""
+    import numpy as np
+    from dposer_tpu.ops.smoothing import (linear_interpolation,
+                                          slerp_interpolation)
+
+    A = jnp.asarray(np.random.default_rng(0).normal(size=(63,)), jnp.float32)
+    out = np.asarray(slerp_interpolation(A, A, 5))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, np.tile(np.asarray(A), (5, 1)), rtol=1e-6)
+    out2 = np.asarray(slerp_interpolation(A, -A, 4))
+    np.testing.assert_allclose(
+        out2, np.asarray(linear_interpolation(A, -A, 4)), rtol=1e-5, atol=1e-6)
