@@ -36,7 +36,10 @@ def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = (DATA
     mesh instead (one data-parallel program over all hosts).
     """
     all_devs = jax.local_devices() if local else jax.devices()
-    devs = all_devs[: (n_devices or len(all_devs))]
+    if n_devices is not None and not 0 < n_devices <= len(all_devs):
+        raise ValueError(f"n_devices={n_devices} out of range for "
+                         f"{len(all_devs)} available device(s)")
+    devs = all_devs[: (n_devices if n_devices is not None else len(all_devs))]
     if shape is None:
         shape = (len(devs),) + (1,) * (len(axis_names) - 1)
     arr = np.asarray(devs).reshape(shape)
@@ -61,6 +64,29 @@ def shard_batch(mesh: Mesh, batch) -> jax.Array:
     return jax.device_put(batch, batch_sharding(mesh))
 
 
+def _shard_global(mesh: Mesh, arr, batch_axis: int) -> jax.Array:
+    """Shared body of :func:`shard_global_batch` (batch_axis=0) and
+    :func:`shard_global_multi_batch` (batch_axis=1): every process passes
+    the SAME full logical array; each host keeps its slice along
+    ``batch_axis`` and the result is one global array sharded there."""
+    spec = P(*([None] * batch_axis + [DATA_AXIS]))
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sh)
+    from jax.experimental import multihost_utils
+
+    pc = jax.process_count()
+    n = arr.shape[batch_axis]
+    if n % pc:
+        raise ValueError(f"global batch {n} must be divisible by {pc} processes")
+    per = n // pc
+    sl = [slice(None)] * np.ndim(arr)
+    sl[batch_axis] = slice(jax.process_index() * per,
+                           (jax.process_index() + 1) * per)
+    return multihost_utils.host_local_array_to_global_array(
+        np.asarray(arr)[tuple(sl)], mesh, spec)
+
+
 def shard_global_batch(mesh: Mesh, batch) -> jax.Array:
     """Assemble a globally-sharded batch on a (possibly multi-host) mesh.
 
@@ -69,25 +95,14 @@ def shard_global_batch(mesh: Mesh, batch) -> jax.Array:
     result is one global array sharded along dim 0 — the multi-host form of
     ``shard_batch``. Single-process: identical to ``shard_batch``.
     """
-    if jax.process_count() == 1:
-        return shard_batch(mesh, batch)
-    from jax.experimental import multihost_utils
-
-    n = batch.shape[0]
-    pc = jax.process_count()
-    if n % pc:
-        raise ValueError(f"global batch {n} must be divisible by {pc} processes")
-    per = n // pc
-    local = np.asarray(batch)[jax.process_index() * per:(jax.process_index() + 1) * per]
-    return multihost_utils.host_local_array_to_global_array(
-        local, mesh, P(DATA_AXIS))
+    return _shard_global(mesh, batch, 0)
 
 
 def data_parallel_step(step_fn: Callable, mesh: Mesh) -> Callable:
     """Compile ``step_fn(state, key, batch) -> (state, aux)`` data-parallel.
 
     State & key replicated, batch sharded along dim 0; XLA handles the
-    cross-chip gradient reduction. Batch size must divide the mesh size.
+    cross-chip gradient reduction. The mesh size must divide the batch size.
     """
     repl = replicate(mesh)
     return jax.jit(step_fn,
@@ -96,22 +111,9 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh) -> Callable:
 
 
 def shard_global_multi_batch(mesh: Mesh, batches) -> jax.Array:
-    """Place ``[K, B, D]`` step-stacked batches with dim 1 batch-sharded
+    """Place ``[K, B, ...]`` step-stacked batches with dim 1 batch-sharded
     (multi-host form mirrors :func:`shard_global_batch`)."""
-    sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    if jax.process_count() == 1:
-        return jax.device_put(batches, sh)
-    from jax.experimental import multihost_utils
-
-    pc = jax.process_count()
-    n = batches.shape[1]
-    if n % pc:
-        raise ValueError(f"global batch {n} must be divisible by {pc} processes")
-    per = n // pc
-    local = np.asarray(batches)[:, jax.process_index() * per:
-                                (jax.process_index() + 1) * per]
-    return multihost_utils.host_local_array_to_global_array(
-        local, mesh, P(None, DATA_AXIS))
+    return _shard_global(mesh, batches, 1)
 
 
 def data_parallel_multi_step(multi_step_fn: Callable, mesh: Mesh) -> Callable:
@@ -149,29 +151,14 @@ def data_parallel_sampler(sampler: Callable, mesh: Mesh) -> Callable:
 
     Uses ``with_sharding_constraint`` (not ``in_shardings``) so batch sizes
     that do not divide the mesh still run (GSPMD pads internally).
+    One jitted body serves this and the param-threaded variant:
+    delegates to :func:`data_parallel_sampler_params` with the params slot
+    empty.
     """
-    bshard = batch_sharding(mesh)
-    tshard = NamedSharding(mesh, P(None, DATA_AXIS))  # [steps, B, D] trajs
+    import functools
 
-    def _constrain(x, sharding):
-        return jax.lax.with_sharding_constraint(x, sharding)
-
-    @jax.jit
-    def run(key, observation=None, mask=None, z=None):
-        kwargs = {}
-        if observation is not None:
-            kwargs["observation"] = _constrain(observation, bshard)
-        if mask is not None:
-            kwargs["mask"] = _constrain(mask, bshard)
-        if z is not None:
-            kwargs["z"] = _constrain(z, bshard)
-        trajs, x = sampler(key, **kwargs)
-        x = _constrain(x, bshard)
-        if trajs is not None and getattr(trajs, "ndim", 0) >= 2:
-            trajs = _constrain(trajs, tshard)
-        return trajs, x
-
-    return run
+    run_p = data_parallel_sampler_params(lambda _params: sampler, mesh)
+    return functools.partial(run_p, None)
 
 
 def multi_hypothesis_imputation_sampler(sampler: Callable, mesh: Mesh) -> Callable:
@@ -181,20 +168,14 @@ def multi_hypothesis_imputation_sampler(sampler: Callable, mesh: Mesh) -> Callab
     imputation sampler with the ``get_pc_sampler`` contract — replaces the
     reference's sequential hypothesis loop (ref run/demo.py:359-362,
     run/train.py:289-292). Shared by run.demo completion2 and run.train eval.
+    Delegates to :func:`multi_hypothesis_imputation_sampler_params` with the
+    params slot empty (one jitted body for both).
     """
-    import jax.numpy as jnp
+    import functools
 
-    bshard = batch_sharding(mesh)
-
-    @jax.jit
-    def run(keys, observation, mask):
-        observation = jax.lax.with_sharding_constraint(observation, bshard)
-        mask = jax.lax.with_sharding_constraint(mask, bshard)
-        outs = jax.vmap(
-            lambda k: sampler(k, observation=observation, mask=mask)[1])(keys)
-        return jnp.swapaxes(outs, 0, 1)  # [B, H, D]
-
-    return run
+    run_p = multi_hypothesis_imputation_sampler_params(
+        lambda _params: sampler, mesh)
+    return functools.partial(run_p, None)
 
 
 def data_parallel_sampler_params(sampler_factory: Callable, mesh: Mesh) -> Callable:
@@ -299,6 +280,12 @@ def shard_eval_batches(dataset_len: int, batch_size: int,
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     n_batches = dataset_len // batch_size
+    if dataset_len % batch_size and pi == 0:
+        # reference-faithful (its DataLoader also sets drop_last=True,
+        # ref run/completion.py:78) but say so instead of dropping silently
+        print(f"[shard_eval_batches] dropping the final "
+              f"{dataset_len % batch_size} of {dataset_len} samples "
+              f"(drop_last batching, batch_size={batch_size})")
     per = n_batches // pc
     extra = n_batches % pc
     start = pi * per + min(pi, extra)

@@ -30,7 +30,11 @@ class DPoserComp:
     """Completion solver: observation + mask -> completed poses."""
 
     def __init__(self, sde: SDE, score_fn: Callable, continuous: bool = True,
-                 batch_size: Optional[int] = None, lr: float = 0.1,
+                 batch_size: Optional[int] = None,  # signature parity only:
+                 # the reference sizes its vec_t with it (ref
+                 # completion.py:96,195); here every shape derives from the
+                 # actual inputs, so the value is unused
+                 lr: float = 0.1,
                  iterations: int = 2, steps_per_iter: int = 100,
                  time_strategy: str = "3", sample_trun: float = 5.0,
                  sample_time: int = 900, mesh=None, backend: str = "xla",

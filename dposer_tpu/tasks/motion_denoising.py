@@ -45,6 +45,8 @@ class MotionDenoise:
         self.body_model = body_model
         self.normalizer = normalizer
         self.dposer_weight = dposer_weight
+        # signature parity only (ref motion_denoising.py takes it); the
+        # prior loss scales by the actual fragment length T instead
         self.batch_size = batch_size
         self.lr = lr
         # jitted solvers cached per schedule so a directory/CSV eval over

@@ -61,6 +61,13 @@ def sample_quan_t(key: jax.Array, step: jnp.ndarray, total_steps: int, sde_N: in
     if time_strategy == "1":
         return jax.random.randint(key, (), 0, sde_N)
     if time_strategy == "2":
+        if not 0 <= sample_time < sde_N:
+            # torch would IndexError on timesteps[sample_time]; a jitted
+            # JAX gather silently clamps to the last grid point instead —
+            # raise host-side so a reduced-N task can't quietly run every
+            # prior evaluation at the wrong noise level
+            raise ValueError(f"sample_time={sample_time} outside the sde "
+                             f"time grid [0, {sde_N})")
         return jnp.asarray(sample_time, jnp.int32)
     if time_strategy == "3":
         return (sde_N

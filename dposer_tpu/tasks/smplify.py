@@ -37,10 +37,11 @@ class DPoser:
 
     def __init__(self, sde: SDE, score_fn: Callable, normalizer, batch_size: int = 32):
         self.prior = DPoserPrior(sde, score_fn)
-        self.sde = sde
         self.normalizer = normalizer
         self.batch_size = batch_size
-        self.timesteps = sde.timesteps(1e-3)
+        # ONE time grid, shared with prior.loss — a separately-built copy
+        # could silently diverge if the prior's eps default ever changed
+        self.timesteps = self.prior.timesteps
 
     def __call__(self, key, poses, betas, quan_t):
         normed = self.normalizer.offline_normalize(poses[:, :N_POSES * 3], from_axis=True)
