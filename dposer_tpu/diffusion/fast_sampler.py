@@ -137,7 +137,11 @@ def precompute_time_tables(model: ScoreModelFC, params, labels: jnp.ndarray):
     act = get_act(model.act_name)
     if model.embedding_type != "positional":
         raise NotImplementedError("fast sampler supports positional embeddings")
-    temb = get_timestep_embedding(labels, model.embed_dim)
+    # tables must come out in the params' dtype: get_timestep_embedding is
+    # fp32, and an fp32 table would promote the whole forward back to fp32
+    # (a bf16 sampler's scan carry then mismatches its init)
+    dt = jax.tree.leaves(params)[0].dtype
+    temb = get_timestep_embedding(labels, model.embed_dim).astype(dt)
     p = params["shared_time_embed_0"]
     temb = act(temb @ p["kernel"] + p["bias"])
 
@@ -152,7 +156,7 @@ def precompute_time_tables(model: ScoreModelFC, params, labels: jnp.ndarray):
     if model.scale_by_sigma:
         sigmas = jnp.asarray(get_sigmas(model.sigma_min, model.sigma_max,
                                         model.num_scales))
-        out_scale = 1.0 / sigmas[labels.astype(jnp.int32)]
+        out_scale = (1.0 / sigmas[labels.astype(jnp.int32)]).astype(dt)
     return tprojs, out_scale
 
 
@@ -277,6 +281,10 @@ def get_fast_pc_sampler(sde: SDE, model: ScoreModelFC, params,
         return x_mean + cnoise[i] * z, x_mean
 
     def sampler(key, observation=None, mask=None, z=None, noise=None):
+        if noise is not None and noise.shape[1] != K:
+            raise ValueError(f"noise needs K={K} slabs per step (got "
+                             f"{noise.shape[1]}): {S} corrector + "
+                             f"{n_imp} imputation + 1 predictor")
         if z is None:
             key, sub = jax.random.split(key)
             x = sde.prior_sampling(sub, shape)
@@ -325,7 +333,9 @@ def get_fast_em_sampler(sde: SDE, model: ScoreModelFC, params,
     ``pregenerate_noise`` draws all step noise in ONE RNG call before the
     scan (different stream than the generic sampler; slightly faster).
     """
-    timesteps = sde.timesteps(eps).astype(dtype)
+    # table math stays fp32 (subVP's 1-exp(-x) cancels catastrophically in
+    # bf16, driving std -> 0 and cout -> inf); only the RESULTS cast down
+    timesteps = sde.timesteps(eps)
     labels = _labels_for(sde, timesteps)
     cx, cout, cnoise = (t.astype(dtype) for t in _em_tables(sde, timesteps))
     cast_params = jax.tree.map(lambda a: a.astype(dtype), params)

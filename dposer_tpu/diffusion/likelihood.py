@@ -19,11 +19,15 @@ from .sde import SDE
 
 
 def get_div_fn(fn: Callable) -> Callable:
-    """Divergence of ``fn(x, t)`` via the Hutchinson estimator with jvp."""
+    """Hutchinson divergence of ``fn(x, t)`` via one forward-mode jvp.
+
+    Returns ``div_fn(x, t, eps) -> (fn(x, t), divergence)`` — the jvp
+    computes the primal anyway, so RHS callers get drift + divergence from
+    TWO network forwards per call instead of three."""
 
     def div_fn(x, t, eps):
-        _, jvp_val = jax.jvp(lambda xx: fn(xx, t), (x,), (eps,))
-        return jnp.sum(jvp_val * eps, axis=tuple(range(1, x.ndim)))
+        primal, jvp_val = jax.jvp(lambda xx: fn(xx, t), (x,), (eps,))
+        return primal, jnp.sum(jvp_val * eps, axis=tuple(range(1, x.ndim)))
 
     return div_fn
 
@@ -33,7 +37,13 @@ def get_likelihood_fn(sde: SDE, score_fn: Callable,
                       hutchinson_type: str = "Rademacher",
                       rtol: float = 1e-5, atol: float = 1e-5,
                       eps: float = 1e-5, jit: bool = True):
-    """Returns ``likelihood_fn(key, data) -> (bpd [B], z [B, D], nfe)``."""
+    """Returns ``likelihood_fn(key, data) -> (bpd [B], z [B, D], nfe)``.
+
+    ``inverse_scaler`` is accepted for reference-signature parity and
+    (like the reference, whose dequantization offset is commented out —
+    ref likelihood.py:46,109) unused: poses are evaluated in the
+    normalized space the model was trained in.
+    """
     pf_rsde = sde.reverse_sde(score_fn, probability_flow=True)
 
     def drift_fn(x, vec_t):
@@ -53,8 +63,7 @@ def get_likelihood_fn(sde: SDE, score_fn: Callable,
         def ode_func(t, state):
             x = state[:, :-1]
             vec_t = jnp.full((shape[0],), t, data.dtype)
-            drift = drift_fn(x, vec_t)
-            logp_grad = div_fn(x, vec_t, epsilon)
+            drift, logp_grad = div_fn(x, vec_t, epsilon)
             return jnp.concatenate([drift, logp_grad[:, None]], axis=1)
 
         init = jnp.concatenate([data, jnp.zeros((shape[0], 1), data.dtype)], axis=1)

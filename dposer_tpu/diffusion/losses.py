@@ -46,10 +46,14 @@ def build_optimizer(config) -> optax.GradientTransformation:
     chain = []
     if config.optim.grad_clip >= 0:
         chain.append(optax.clip_by_global_norm(config.optim.grad_clip))
+    if config.optim.weight_decay:
+        # AFTER the clip: torch Adam's weight_decay adds wd*p to the
+        # (already externally clipped) gradient inside the step — decaying
+        # before the clip would jointly rescale grad+wd*p and weaken both
+        # vs the reference (latent: shipped configs use weight_decay=0)
+        chain.append(optax.add_decayed_weights(config.optim.weight_decay))
     chain.append(optax.adam(learning_rate=lr_schedule, b1=config.optim.beta1,
                             b2=0.999, eps=config.optim.eps))
-    if config.optim.weight_decay:
-        chain.insert(0, optax.add_decayed_weights(config.optim.weight_decay))
     return optax.chain(*chain)
 
 

@@ -96,6 +96,7 @@ def rk45(func: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         nfe: jnp.ndarray
         steps: jnp.ndarray
         done: jnp.ndarray
+        rejected: jnp.ndarray  # scipy's step_rejected memory
 
     def cond(s: State):
         return (~s.done) & (s.steps < max_steps)
@@ -126,7 +127,12 @@ def rk45(func: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         factor = jnp.where(
             err_norm == 0.0, _MAX_FACTOR,
             jnp.clip(_SAFETY * err_norm ** _ERR_EXP, _MIN_FACTOR, _MAX_FACTOR))
-        factor = jnp.where(accept, factor, jnp.minimum(factor, 1.0))
+        # scipy's step_rejected memory: the accept right after a rejection
+        # may not grow h (factor <= 1), preventing accept/reject
+        # oscillation near stiff regions — keeps NFE comparable to the
+        # scipy oracle as documented above
+        cap = (~accept) | s.rejected
+        factor = jnp.where(cap, jnp.minimum(factor, 1.0), factor)
         h_next = h * factor
 
         # land exactly on t1 when the last (clamped) step is accepted: the
@@ -139,12 +145,14 @@ def rk45(func: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         f_out = jnp.where(accept, f_new, s.f)
         done = accept & is_last
         return State(t=t_out, y=y_out, f=f_out, h=h_next,
-                     nfe=s.nfe + 6, steps=s.steps + 1, done=done)
+                     nfe=s.nfe + 6, steps=s.steps + 1, done=done,
+                     rejected=~accept)
 
     init = State(t=t0, y=y0, f=f0, h=h0,
                  nfe=jnp.asarray(2, jnp.int32),  # f0 + initial-step probe
                  steps=jnp.asarray(0, jnp.int32),
-                 done=jnp.asarray(False))
+                 done=jnp.asarray(False),
+                 rejected=jnp.asarray(False))
     final = jax.lax.while_loop(cond, body, init)
     status = jnp.where(final.done, 0, 1).astype(jnp.int32)
     return ODEResult(y=final.y, nfe=final.nfe, status=status)

@@ -236,7 +236,6 @@ def get_pc_sampler(sde: SDE, shape: Tuple[int, ...], score_fn: Callable,
     predictor_update = get_predictor(predictor)(sde, score_fn, probability_flow)
     corrector_update = get_corrector(corrector)(sde, score_fn, snr, n_steps)
     timesteps = sde.timesteps(eps)
-    num_steps = sde.N - start_step
 
     def impute(key, x, t, observation, mask):
         masked_mean, std = sde.marginal_prob(observation, t)

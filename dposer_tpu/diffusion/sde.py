@@ -255,7 +255,7 @@ class VESDE(SDE):
 def build_sde(config, N: int | None = None) -> SDE:
     """Construct the SDE named by ``config.training.sde`` (ref train.py:196-212).
 
-    Returns the SDE together with its conventional ``sampling_eps``.
+    Returns the SDE (see :func:`sampling_eps_for` for the matching eps).
     """
     name = config.training.sde.lower()
     n = N if N is not None else config.model.num_scales

@@ -219,7 +219,12 @@ def _main():
     state = {"params": cv["params"], "step": cv["step"]}
     if cv["ema_params"] is not None:
         state["ema"] = {"shadow_params": cv["ema_params"],
-                        "num_updates": cv["ema_num_updates"] or 0,
+                        # torch None = use_num_updates disabled -> our convention is a
+                        # NEGATIVE counter (ema.py:23); `or 0` would re-enable
+                        # the warmup ramp and yank the loaded shadow ~82%
+                        # toward raw params on the first resumed step
+                        "num_updates": (-1 if cv["ema_num_updates"] is None
+                                        else cv["ema_num_updates"]),
                         "decay": cv["ema_decay"]}
     save_train_state(args.dst, state)
     n = sum(np.asarray(p).size for p in jax.tree.leaves(cv["params"]))

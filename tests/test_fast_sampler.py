@@ -162,3 +162,23 @@ def test_pallas_reverse_diffusion_matches_fast():
     ref = np.asarray(ref)
     scale = max(1.0, np.abs(ref).max())
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-3 * scale)
+
+
+def test_bf16_dtype_knob(setup):
+    """dtype=bf16 must trace and run (the time tables used to come out
+    fp32, promoting the forward and mismatching the scan carry) and stay
+    close to the fp32 trajectory."""
+    model, params = setup
+    sde = sde_lib.SubVPSDE(N=20)
+    key = jax.random.PRNGKey(3)
+    s16 = get_fast_em_sampler(sde, model, params, (4, 63), dtype=jnp.bfloat16)
+    _, x16 = s16(key)
+    assert x16.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(x16, np.float32)).all()
+    # a random-init net makes the reverse trajectory chaotic (see the
+    # fixture note), so only pin the scale: same order of magnitude as the
+    # fp32 run, not elementwise closeness
+    _, x32 = get_fast_em_sampler(sde, model, params, (4, 63))(key)
+    n16 = float(jnp.mean(jnp.abs(x16.astype(jnp.float32))))
+    n32 = float(jnp.mean(jnp.abs(x32)))
+    assert 0.3 < n16 / n32 < 3.0
