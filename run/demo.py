@@ -245,13 +245,18 @@ def main(args):
             # (ref run/demo.py:306) unlike run.completion's '3'
             key, ko = jax.random.split(key)
             multihypo = None
+            # ref's fixed sample_time=900 assumes N=1000; on reduced-N
+            # configs clamp to the last grid index (what a silent gather
+            # clamp used to do) instead of tripping the bounds check
+            demo_sample_time = min(900, sde.N - 1)
             n_dev = mesh.devices.size
             rows_ok = (hypo_num * observation.shape[0]) % n_dev == 0
             if (jax.default_backend() == "tpu" and (n_dev == 1 or rows_ok)
                     and config.model.embedding_type == "positional"):
                 try:  # whole Adam loop as one Pallas kernel (per device)
                     compfn = DPoserComp(sde, score_fn, time_strategy="2",
-                                        sample_time=900, backend="pallas",
+                                        sample_time=demo_sample_time,
+                                        backend="pallas",
                                         model=model, params=params,
                                         mesh=mesh if n_dev > 1 else None)
                     multihypo = compfn.optimize_hypos(ko, observation, mask,
@@ -261,7 +266,8 @@ def main(args):
             if multihypo is None:
                 comp_mesh = mesh if observation.shape[0] % mesh.devices.size == 0 else None
                 compfn = DPoserComp(sde, score_fn, time_strategy="2",
-                                    sample_time=900, mesh=comp_mesh)
+                                    sample_time=demo_sample_time,
+                                    mesh=comp_mesh)
                 multihypo = compfn.optimize_hypos(ko, observation, mask, hypo_num)
         else:
             # ScoreSDE imputation inside the reverse sampler; hypotheses via
