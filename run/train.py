@@ -185,7 +185,11 @@ def main(args):
                 if cv["ema_params"] is not None:
                     state = state.replace(ema=state.ema.replace(
                         shadow_params=cv["ema_params"],
-                        num_updates=jnp.asarray(cv["ema_num_updates"] or 0, jnp.int32)))
+                        num_updates=jnp.asarray(
+                            # torch None = counter disabled -> negative per
+                            # ema.py's convention (0 would re-enable warmup)
+                            -1 if cv["ema_num_updates"] is None
+                            else cv["ema_num_updates"], jnp.int32)))
             logger.info(f"=> loaded checkpoint (step {int(state.step)})")
 
     # SDE + samplers + losses
