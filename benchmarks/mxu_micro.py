@@ -30,7 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 B, H, N_STEPS, CHAIN = 512, 1024, 1000, 6
 
 
-def build(acc_dtype):
+def build(acc_dtype, operand="bf16"):
+    """operand: 'bf16' (bf16 x bf16 -> acc) or 'int8' (int8 x int8 -> int32,
+    with the per-pass activation requantization the real kernel would pay:
+    fp32 accumulator -> scale -> round -> clip -> int8)."""
+
     def kernel(x0, *ws_and_out):
         ws = ws_and_out[:CHAIN]
         out_ref, x_st = ws_and_out[CHAIN], ws_and_out[CHAIN + 1]
@@ -39,9 +43,14 @@ def build(acc_dtype):
         def body(i, _):
             h = x_st[:]
             for k in range(CHAIN):
-                hb = h.astype(jnp.bfloat16)
-                h = jnp.dot(hb, ws[k][:], preferred_element_type=acc_dtype)
-                h = h.astype(jnp.float32)
+                if operand == "int8":
+                    hq = jnp.clip(jnp.round(h * 21.0), -127, 127).astype(jnp.int8)
+                    acc = jnp.dot(hq, ws[k][:], preferred_element_type=jnp.int32)
+                    h = acc.astype(jnp.float32) * (1.0 / (21.0 * 127.0))
+                else:
+                    hb = h.astype(jnp.bfloat16)
+                    h = jnp.dot(hb, ws[k][:], preferred_element_type=acc_dtype)
+                    h = h.astype(jnp.float32)
             # accumulate so every iteration observably changes state
             x_st[:] = x_st[:] * 0.5 + h * 1e-3
             return i
@@ -71,15 +80,25 @@ def main():
     x0 = jax.random.normal(key, (B, H), jnp.float32)
     ws = [jax.random.normal(jax.random.fold_in(key, k), (H, H),
                             jnp.bfloat16) * 0.03 for k in range(CHAIN)]
+    ws_i8 = [jnp.clip(jnp.round(w.astype(jnp.float32) * 127.0 / 0.12),
+                      -127, 127).astype(jnp.int8) for w in ws]
     flops = 2 * B * H * H * CHAIN * N_STEPS
-    for acc in (jnp.float32, jnp.bfloat16):
-        run = build(acc)
-        x = run(x0, ws)
+    for acc, operand, weights in ((jnp.float32, "bf16", ws),
+                                  (jnp.bfloat16, "bf16", ws),
+                                  (jnp.int32, "int8", ws_i8)):
+        run = build(acc, operand)
+        try:
+            x = run(x0, weights)
+        except Exception as e:  # e.g. Mosaic rejects bf16 accumulators
+            print(f"op={operand:5s} acc={acc.__name__:9s} unsupported: "
+                  f"{str(e).splitlines()[0][:100]}", flush=True)
+            continue
         np.asarray(x)  # compile + force true completion
-        t = steady_state(lambda i: run(x0, ws))
+        t = steady_state(lambda i: run(x0, weights))
         us_per_mm = t / N_STEPS / CHAIN * 1e6
-        print(f"acc={acc.__name__:9s} {t * 1e3:7.2f} ms  {us_per_mm:5.2f} us/matmul  "
-              f"{flops / t / 1e12:6.1f} TFLOP/s  checksum={float(abs(x).sum()):.3e}",
+        print(f"op={operand:5s} acc={acc.__name__:9s} {t * 1e3:7.2f} ms  "
+              f"{us_per_mm:5.2f} us/matmul  "
+              f"{flops / t / 1e12:6.1f} T(FL)OP/s  checksum={float(abs(x).sum()):.3e}",
               flush=True)
 
 
