@@ -59,6 +59,17 @@ def main():
                               rng_mode="kernel")
     timeit("EM+langevin, kernel-rng (metrics)", s, B)
 
+    # opt-in W8A8 serving mode (scales don't affect timing, so fixed
+    # plausible ranges stand in for quant.calibrate_act_amax here)
+    amax = np.array([6.0, 3.0, 3.0, 5.0, 3.0, 6.0], np.float32)
+    s = get_pallas_em_sampler(sde, model, params, (B, DIM), rng_mode="kernel",
+                              quant="int8", act_amax=amax)
+    timeit("EM, kernel-rng, int8", s, B)
+    s = get_pallas_em_sampler(sde, model, params, (B, DIM), eps=5e-3,
+                              corrector="langevin", snr=0.16,
+                              rng_mode="kernel", quant="int8", act_amax=amax)
+    timeit("EM+langevin, kernel-rng, int8", s, B)
+
     # completion2 protocol: imputation
     obs = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (B, DIM))
     mask = jnp.zeros((B, DIM)).at[:, 10:30].set(1.0)

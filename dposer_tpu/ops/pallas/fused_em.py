@@ -56,7 +56,7 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
                  dim: int, dim_p: int, hidden: int, denoise: bool,
                  kernel_rng: bool, n_corr: int, imputation: bool, snr: float,
                  gridded: bool = True, gn_vpu: bool = False,
-                 ablate: frozenset = frozenset()):
+                 ablate: frozenset = frozenset(), quant_inv=None):
     """Kernel body builder. Ref layout (all VMEM unless noted):
 
     refs = [coefs (SMEM [N, 8]), seed (SMEM [1], kernel_rng only),
@@ -65,6 +65,7 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
             gn_vpu: gn_scale (VMEM [1+2*n_blocks, H]), gn_bias;
             else:   Gts (VMEM [1+2*n_blocks, NG, H], scale-folded), gn_bias,
                     G (VMEM [H, NG], mean-normalized), Gt (VMEM [NG, H]),
+            quant: qs_h (VMEM [rows, H]), qs_post (VMEM [8, dim_p]),
             tp_hbm (ANY [N, n_tp_pad, H]),
             noise_hbm (ANY [N, K, Bp, Dp], host-rng mode only),
             out_ref,
@@ -72,7 +73,8 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
             (host-rng: nz_buf [2, K, ...], sem_nz [2]), sem_tp [2]]
 
     coefs columns: cx, cout, cnoise, score_scale, alpha, imput_mean,
-    imput_std, (pad).
+    imput_std, (pad). ``quant_inv``: static 127/amax immediates — present
+    iff the weight refs are int8 (see score_net.bind_fwd).
     """
     n_tp = 1 + 2 * n_blocks
     K = n_corr + (2 if imputation else 0) + 1  # noise slabs per step
@@ -96,6 +98,10 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
         n_gn = 2 if gn_vpu else 4
         gn_refs = rest[:n_gn]
         rest = rest[n_gn:]
+        quant = None
+        if quant_inv is not None:
+            quant = (rest[0], rest[1], quant_inv)  # qs_h, qs_post, act_inv
+            rest = rest[2:]
         if kernel_rng:
             (tp_hbm, out_ref, x_st, tp_buf, sem_tp) = rest
             noise_hbm = nz_buf = sem_nz = None
@@ -104,7 +110,7 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
              sem_tp, sem_nz) = rest
 
         fwd = bind_fwd(n_blocks, hidden, gn_vpu, ablate,
-                       Wpre, Ws, Wpost, bpost, gn_refs, tp_buf)
+                       Wpre, Ws, Wpost, bpost, gn_refs, tp_buf, quant=quant)
 
         i_blk = pl.program_id(0) if gridded else 0
         row0 = i_blk * batch_blk
@@ -220,8 +226,16 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           mesh=None, gn: str = "auto",
                           probability_flow: bool = False,
                           predictor: str = "euler_maruyama",
+                          quant: str = None, act_amax=None,
                           _ablate: frozenset = frozenset()):
     """Build the single-kernel PC sampler.
+
+    ``quant="int8"`` (opt-in serving mode; requires ``act_amax`` from
+    ``quant.calibrate_act_amax``) runs the dense matmuls on the MXU's
+    int8 path — symmetric per-column weights, static per-tensor
+    activation scales — with GN/SiLU/EM math unchanged in fp32. Measured
+    quality/throughput in PERFORMANCE.md "int8 serving mode"; the default
+    bf16 path is untouched.
 
     ``predictor`` may be 'euler_maruyama' or 'reverse_diffusion' — both
     collapse to the same 3-scalar per-step update, only the coefficient
@@ -254,17 +268,19 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         return _sharded_sampler(sde, model, params, shape, eps, denoise,
                                 interpret, rng_mode, batch_block, corrector,
                                 snr, n_corrector_steps, imputation, mesh,
-                                gn, probability_flow, predictor, _ablate)
+                                gn, probability_flow, predictor, quant,
+                                act_amax, _ablate)
 
     kernel_rng = rng_mode == "kernel"
-    # VMEM budget guard: weights (bf16) + x/noise/tp buffers + ~3 live
-    # activations must fit on-core; refuse early with a clear error so
-    # callers can fall back to the XLA sampler.
+    # VMEM budget guard: weights (bf16, or int8 in quant mode) + x/noise/tp
+    # buffers + ~3 live activations must fit on-core; refuse early with a
+    # clear error so callers can fall back to the XLA sampler.
     batch_p_est = min(_round_up(shape[0], 128), batch_block)
     dim_p_est = _round_up(shape[1], 128)
     h = model.hidden_dim
+    wb = 1 if quant == "int8" else 2  # weight bytes
     n_x_bufs = 1 + (2 if imputation else 0) + (0 if kernel_rng else 2 * K)
-    est = (2 * (shape[1] * h + 2 * model.n_blocks * h * h + h * shape[1])  # bf16 weights
+    est = (wb * (shape[1] * h + 2 * model.n_blocks * h * h + h * shape[1])  # weights
            + 4 * (batch_p_est * dim_p_est) * (1 + n_x_bufs)
            + 4 * 3 * batch_p_est * h                                        # activations
            + 4 * 2 * 8 * h)                                                 # tp buffers
@@ -289,7 +305,8 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     labels = _labels_for(sde, timesteps)
     cx, cout, cnoise = _pred_tables(sde, timesteps, predictor,
                                     probability_flow=probability_flow)
-    net = build_network_operands(model, params, dim, dim_p, labels, gn=gn)
+    net = build_network_operands(model, params, dim, dim_p, labels, gn=gn,
+                                 quant=quant, act_amax=act_amax)
     out_scale = net["out_scale"]
     score_scale, alpha = _corrector_tables(sde, timesteps, out_scale)
     imput_mc, imput_std = _imputation_tables(sde, timesteps)
@@ -300,11 +317,14 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     Wpre, Ws, Wpost, bpost = net["Wpre"], net["Ws"], net["Wpost"], net["bpost"]
     gn_args, gn_vpu, tp_all = net["gn_args"], net["gn_vpu"], net["tp_all"]
     n_tp_pad = net["n_tp_pad"]
+    q_args = () if net["quant"] is None else (net["quant"]["qs_h"],
+                                              net["quant"]["qs_post"])
+    q_inv = None if net["quant"] is None else net["quant"]["act_inv"]
 
     kernel = _make_kernel(n_steps, n_blocks, batch, batch_blk, dim, dim_p,
                           hidden, denoise, kernel_rng, n_corr, imputation,
                           snr, gridded=n_blk > 1, gn_vpu=gn_vpu,
-                          ablate=_ablate)
+                          ablate=_ablate, quant_inv=q_inv)
 
     def blocked(spec_shape, index_map):
         return pl.BlockSpec(spec_shape, index_map, memory_space=pltpu.VMEM)
@@ -324,6 +344,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # Wpost
         pl.BlockSpec(memory_space=pltpu.VMEM),   # bpost
         *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in gn_args],
+        *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in q_args],
         pl.BlockSpec(memory_space=pl.ANY),       # tp_hbm
     ]
     if not kernel_rng:
@@ -379,7 +400,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
         if kernel_rng:
             seed = jax.random.randint(k_noise, (1,), 0, 2 ** 31 - 1, jnp.int32)
             out = call(coefs, seed, x0p, *extra, Wpre, *Ws, Wpost, bpost,
-                       *gn_args, tp_all)
+                       *gn_args, *q_args, tp_all)
         else:
             if noise is None:
                 noise_p = jax.random.normal(
@@ -390,7 +411,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                 noise_p = jnp.zeros((n_steps, K, batch_p, dim_p), jnp.float32)
                 noise_p = noise_p.at[:, :, :batch, :dim].set(noise)
             out = call(coefs, x0p, *extra, Wpre, *Ws, Wpost, bpost,
-                       *gn_args, tp_all, noise_p)
+                       *gn_args, *q_args, tp_all, noise_p)
         return None, out[:batch, :dim]
 
     return sampler
@@ -399,7 +420,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
 def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
                      rng_mode, batch_block, corrector, snr, n_corrector_steps,
                      imputation, mesh, gn, probability_flow, predictor,
-                     _ablate):
+                     quant, act_amax, _ablate):
     """shard_map the single-device kernel over the mesh's batch shards."""
     from jax.sharding import PartitionSpec as P
 
@@ -417,7 +438,7 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
         corrector=corrector, snr=snr, n_corrector_steps=n_corrector_steps,
         imputation=imputation, mesh=None, gn=gn,
         probability_flow=probability_flow, predictor=predictor,
-        _ablate=_ablate)
+        quant=quant, act_amax=act_amax, _ablate=_ablate)
     axis = DATA_AXIS
     cache = {}
 

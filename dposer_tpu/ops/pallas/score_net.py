@@ -62,7 +62,7 @@ def group_indicator(hidden: int) -> np.ndarray:
 
 
 def build_network_operands(model, params, dim: int, dim_p: int, labels,
-                           gn: str = "auto"):
+                           gn: str = "auto", quant=None, act_amax=None):
     """Host-side kernel-operand prep for a ScoreModelFC.
 
     Returns a dict with: ``Wpre, Ws, Wpost, bpost`` (bf16, padded),
@@ -70,10 +70,23 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
     ``tp_all`` ([len(labels), n_tp_pad, H] fp32 — per-step dense bias +
     time-embedding projections, already permuted), ``out_scale``
     ([len(labels)] or None — the model's 1/sigma output scaling to fold
-    into downstream coefficient tables), ``n_tp_pad``.
+    into downstream coefficient tables), ``n_tp_pad``, ``quant``.
+
+    ``quant="int8"`` (requires ``act_amax``, the per-matmul-input
+    activation ranges from ``quant.calibrate_act_amax``) emits ``Wpre /
+    Ws / Wpost`` as symmetric per-output-column int8 instead of bf16, and
+    ``quant`` as a dict with the kernel-side rescale rows: ``qs_h``
+    ([rows, H] fp32; row k = act_scale_k * w_col_scales_k for the pre +
+    block matmuls), ``qs_post`` ([8, dim_p], row 0 for the post matmul)
+    and ``act_inv`` (tuple of python floats 127/amax_k, baked into the
+    kernel as immediates). Otherwise ``quant`` is None.
     """
     if gn not in ("auto", "vpu", "mm"):
         raise ValueError(f"gn must be 'auto', 'vpu' or 'mm', got {gn!r}")
+    if quant not in (None, "int8"):
+        raise ValueError(f"quant must be None or 'int8', got {quant!r}")
+    if (quant == "int8") != (act_amax is not None):
+        raise ValueError("act_amax must be passed iff quant='int8'")
     hidden = model.hidden_dim
     n_blocks = model.n_blocks
     if model.embedding_type != "positional":
@@ -102,29 +115,60 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
 
     tprojs, out_scale = precompute_time_tables(model, params, labels)
 
-    def bf16(a):
-        return jnp.asarray(a, jnp.bfloat16)
-
-    Wpre = jnp.zeros((dim_p, hidden), jnp.bfloat16).at[:dim].set(
-        bf16(np.asarray(params["pre_dense"]["kernel"])[:, perm]))
-    Ws = []
+    # padded, permuted fp32 weights first; then cast to the kernel's
+    # matmul operand format (bf16, or per-column int8 in quant mode)
+    Wpre_f = np.zeros((dim_p, hidden), np.float32)
+    Wpre_f[:dim] = np.asarray(params["pre_dense"]["kernel"],
+                              np.float32)[:, perm]
+    Ws_f = []
     tp_rows = [(tprojs["pre_dense_t"]
                 + params["pre_dense"]["bias"][None, :])[:, perm]]
     gn_names = ["pre_gnorm"]
     for blk in range(n_blocks):
-        Ws.append(bf16(np.asarray(
-            params[f"b{blk + 1}_dense1"]["kernel"])[perm][:, perm]))
-        Ws.append(bf16(np.asarray(
-            params[f"b{blk + 1}_dense2"]["kernel"])[perm][:, perm]))
+        Ws_f.append(np.asarray(params[f"b{blk + 1}_dense1"]["kernel"],
+                               np.float32)[perm][:, perm])
+        Ws_f.append(np.asarray(params[f"b{blk + 1}_dense2"]["kernel"],
+                               np.float32)[perm][:, perm])
         tp_rows.append((tprojs[f"b{blk + 1}_dense1_t"]
                         + params[f"b{blk + 1}_dense1"]["bias"][None, :])[:, perm])
         tp_rows.append((tprojs[f"b{blk + 1}_dense2_t"]
                         + params[f"b{blk + 1}_dense2"]["bias"][None, :])[:, perm])
         gn_names.extend([f"b{blk + 1}_gnorm1", f"b{blk + 1}_gnorm2"])
-    Wpost = jnp.zeros((hidden, dim_p), jnp.bfloat16).at[:, :dim].set(
-        bf16(np.asarray(params["post_dense"]["kernel"])[perm, :]))
+    Wpost_f = np.zeros((hidden, dim_p), np.float32)
+    Wpost_f[:, :dim] = np.asarray(params["post_dense"]["kernel"],
+                                  np.float32)[perm, :]
     bpost = jnp.zeros((1, dim_p), jnp.float32).at[0, :dim].set(
         jnp.asarray(params["post_dense"]["bias"], jnp.float32))
+
+    quant_dict = None
+    if quant == "int8":
+        from .quant import quantize_cols
+        n_mm = 2 + 2 * n_blocks
+        amax = np.asarray(act_amax, np.float32).reshape(-1)
+        if amax.shape != (n_mm,) or not np.all(amax > 0):
+            raise ValueError(
+                f"act_amax must be {n_mm} positive ranges (one per matmul "
+                f"input: x, h_pre, (h1, h_res) per block, h_post); got "
+                f"{amax!r}")
+        Wpre, s_pre = quantize_cols(jnp.asarray(Wpre_f))
+        Ws, s_blk = [], []
+        for Wf in Ws_f:
+            q, s = quantize_cols(jnp.asarray(Wf))
+            Ws.append(q)
+            s_blk.append(np.asarray(s))
+        Wpost, s_post = quantize_cols(jnp.asarray(Wpost_f))
+        qs_h = np.zeros((round_up(1 + 2 * n_blocks, 8), hidden), np.float32)
+        qs_h[0] = (amax[0] / 127.0) * np.asarray(s_pre)
+        for k in range(2 * n_blocks):
+            qs_h[1 + k] = (amax[1 + k] / 127.0) * s_blk[k]
+        qs_post = np.zeros((8, dim_p), np.float32)
+        qs_post[0] = (amax[n_mm - 1] / 127.0) * np.asarray(s_post)
+        quant_dict = dict(qs_h=jnp.asarray(qs_h), qs_post=jnp.asarray(qs_post),
+                          act_inv=tuple(float(127.0 / a) for a in amax))
+    else:
+        Wpre = jnp.asarray(Wpre_f, jnp.bfloat16)
+        Ws = [jnp.asarray(Wf, jnp.bfloat16) for Wf in Ws_f]
+        Wpost = jnp.asarray(Wpost_f, jnp.bfloat16)
 
     # pad the per-step row count to the 8-sublane tile (Mosaic slice alignment)
     n_tp_pad = round_up(1 + 2 * n_blocks, 8)
@@ -151,14 +195,21 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
 
     return dict(Wpre=Wpre, Ws=Ws, Wpost=Wpost, bpost=bpost, gn_args=gn_args,
                 gn_vpu=gn_vpu, tp_all=tp_all, out_scale=out_scale,
-                n_tp_pad=n_tp_pad)
+                n_tp_pad=n_tp_pad, quant=quant_dict)
 
 
 def bind_fwd(n_blocks: int, hidden: int, gn_vpu: bool, ablate: frozenset,
-             Wpre, Ws, Wpost, bpost, gn_refs, tp_buf):
+             Wpre, Ws, Wpost, bpost, gn_refs, tp_buf, quant=None):
     """Bind unpacked kernel refs into ``fwd(x, slot) -> raw network output``
     (Wpost + bias; any sigma output scaling is folded into the caller's
-    per-step coefficient tables)."""
+    per-step coefficient tables).
+
+    ``quant=(qs_h_ref, qs_post_ref, act_inv)`` switches the dense matmuls
+    to the MXU int8 path: inputs quantize on-core with the static scales
+    ``act_inv`` (python-float immediates), weights are the per-column int8
+    refs, and the int32 accumulator rescales by one fp32 row per matmul
+    (activation scale x per-column weight scales, prefolded by
+    ``build_network_operands``). GN/SiLU/residual/EM math stays fp32."""
 
     def group_norm_vpu(h, scale_row, bias_row):
         """GN with zero matmuls: the build pre-permutes the hidden dim so
@@ -229,31 +280,41 @@ def bind_fwd(n_blocks: int, hidden: int, gn_vpu: bool, ablate: frozenset,
 
     act = (lambda v: v) if "silu" in ablate else silu
 
+    if quant is None:
+        def mm(h, k, Wref, post=False):
+            return jnp.dot(h.astype(jnp.bfloat16), Wref[:],
+                           preferred_element_type=jnp.float32)
+    else:
+        qs_h, qs_post, act_inv = quant
+
+        def mm(h, k, Wref, post=False):
+            hq = jnp.clip(jnp.round(h * act_inv[k]), -127.0, 127.0)
+            acc = jnp.dot(hq.astype(jnp.int8), Wref[:],
+                          preferred_element_type=jnp.int32)
+            row = qs_post[0, :] if post else qs_h[k, :]
+            return acc.astype(jnp.float32) * row[None, :]
+
     def fwd(x, slot, row0=0):
         # ``row0`` selects a stage block inside the slab (multi-stage
         # integrators stream several time points per step, e.g. the RK4 ODE
         # kernel's [3 * n_tp] slabs); the GN affine index stays stage-free.
-        xb = x.astype(jnp.bfloat16)
-        h = jnp.dot(xb, Wpre[:], preferred_element_type=jnp.float32)
+        h = mm(x, 0, Wpre)
         h = h + tp_buf[slot, row0 + 0, :][None, :]
         h = gnorm(h, 0)
         h = act(h)
         for blk in range(n_blocks):
             w1 = Ws[2 * blk]
             w2 = Ws[2 * blk + 1]
-            h1 = jnp.dot(h.astype(jnp.bfloat16), w1[:],
-                         preferred_element_type=jnp.float32)
+            h1 = mm(h, 1 + 2 * blk, w1)
             h1 = h1 + tp_buf[slot, row0 + 1 + 2 * blk, :][None, :]
             h1 = gnorm(h1, 1 + 2 * blk)
             h1 = act(h1)
-            h2 = jnp.dot(h1.astype(jnp.bfloat16), w2[:],
-                         preferred_element_type=jnp.float32)
+            h2 = mm(h1, 2 + 2 * blk, w2)
             h2 = h2 + tp_buf[slot, row0 + 2 + 2 * blk, :][None, :]
             h2 = gnorm(h2, 2 + 2 * blk)
             h2 = act(h2)
             h = h + h2
-        res = jnp.dot(h.astype(jnp.bfloat16), Wpost[:],
-                      preferred_element_type=jnp.float32)
+        res = mm(h, 1 + 2 * n_blocks, Wpost, post=True)
         return res + bpost[:]
 
     return fwd

@@ -54,6 +54,14 @@ def parse_args(argv):
     parser.add_argument("--output-path", type=str, default="./output/test_results")
     parser.add_argument("--device", type=str, default=None, help="unused (JAX backend)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--quant", type=str, default="none",
+                        choices=["none", "int8"],
+                        help="opt-in W8A8 serving mode for the Pallas sampler "
+                             "paths (generation/metrics/completion2): int8 "
+                             "MXU matmuls with activation ranges "
+                             "auto-calibrated on a sampling trajectory; "
+                             "~1.2-1.3x measured, distribution-level parity "
+                             "(PERFORMANCE.md). Ignored on XLA fallback paths.")
     parser.add_argument("--adaptive-ode", action="store_true",
                         help="interpolation: force the adaptive RK45 "
                              "encode/decode (accuracy oracle) instead of "
@@ -107,6 +115,29 @@ def main(args):
                 and config.sampling.corrector in allowed_correctors
                 and config.model.embedding_type == "positional")
 
+    _amax_cache = {}
+
+    def quant_kwargs(eps):
+        """kwargs enabling the opt-in W8A8 mode on a Pallas sampler build;
+        activation ranges are trajectory-calibrated once per (eps,
+        corrector) and cached for the process."""
+        if args.quant == "none":
+            return {}
+        from dposer_tpu.ops.pallas.quant import calibrate_act_amax
+
+        corr = (config.sampling.corrector
+                if config.sampling.corrector == "langevin" else "none")
+        ck = (float(eps), corr)
+        if ck not in _amax_cache:
+            _amax_cache[ck] = calibrate_act_amax(
+                sde, model, params, (256, N_POSES * POSE_DIM),
+                jax.random.PRNGKey(args.seed + 999), eps=float(eps),
+                corrector=corr, snr=config.sampling.snr,
+                n_corrector_steps=config.sampling.n_steps_each)
+            print(f"[quant] int8 ranges calibrated (eps={eps}, "
+                  f"corrector={corr}): {np.round(_amax_cache[ck], 3)}")
+        return dict(quant="int8", act_amax=_amax_cache[ck])
+
     def build_generation_sampler(shape, eps):
         """Prefer the single-kernel Pallas sampler when the config matches
         its scope (EM predictor, none/langevin corrector, positional temb —
@@ -140,10 +171,12 @@ def main(args):
                                           n_corrector_steps=config.sampling.n_steps_each,
                                           predictor=config.sampling.predictor,
                                           rng_mode="kernel",
-                                          mesh=mesh if mesh.devices.size > 1 else None)
+                                          mesh=mesh if mesh.devices.size > 1 else None,
+                                          **quant_kwargs(eps))
                 s(jax.random.PRNGKey(0))  # compile probe
                 print(f"[sampler] pallas single-kernel path "
-                      f"(corrector={config.sampling.corrector})")
+                      f"(corrector={config.sampling.corrector}"
+                      f"{', int8' if args.quant == 'int8' else ''})")
                 return s
             except Exception as e:
                 print(f"[sampler] pallas unavailable ({type(e).__name__}); using XLA scan")
@@ -289,7 +322,8 @@ def main(args):
                         predictor=config.sampling.predictor,
                         rng_mode="kernel",
                         mesh=mesh if (mesh.devices.size > 1
-                                      and hb % mesh.devices.size == 0) else None)
+                                      and hb % mesh.devices.size == 0) else None,
+                        **quant_kwargs(sampling_eps))
                     key, kh = jax.random.split(key)
                     multihypo = s(kh, observation, mask)
                     print("[sampler] pallas single-dispatch multi-hypothesis "

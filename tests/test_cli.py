@@ -113,6 +113,21 @@ def test_demo_generation(workdir):
     assert "loaded checkpoint" in out
 
 
+def test_demo_generation_quant_int8(workdir):
+    """--quant int8 (opt-in W8A8 serving mode): the activation-range
+    calibration runs up front; on this CPU host the Pallas build then
+    falls back to the XLA scan and the protocol still completes."""
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "generation", "--quant", "int8",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--output-path", workdir["out"]])
+    assert "loaded checkpoint" in out
+    assert "[quant] int8 ranges calibrated" in out
+
+
 def test_demo_completion2(workdir):
     out = run_cli([
         "run.demo", "--config", workdir["config"],

@@ -104,6 +104,32 @@ def test_completion_uses_learned_correlations(trained):
     assert err_completed < 0.8 * err_zero_baseline, (err_completed, err_zero_baseline)
 
 
+def test_int8_kernel_moments_on_trained_model(trained):
+    """Quality pin for the opt-in W8A8 sampler mode: on a trained model,
+    trajectory-calibrated int8 sampling must match the fp32 sampler in
+    DISTRIBUTION (pointwise trajectories diverge chaotically, for int8 as
+    for bf16 — moments and learned correlations are the honest contract)."""
+    from dposer_tpu.diffusion.fast_sampler import get_fast_pc_sampler
+    from dposer_tpu.ops.pallas.quant import calibrate_act_amax
+
+    sde, model, params = trained
+    shape = (2000, DIM)
+    amax = calibrate_act_amax(sde, model, params, (256, DIM),
+                              jax.random.PRNGKey(31))
+    fast = get_fast_pc_sampler(sde, model, params, shape, eps=1e-3)
+    q = get_pallas_em_sampler(sde, model, params, shape, eps=1e-3,
+                              interpret=True, quant="int8", act_amax=amax)
+    _, a = fast(jax.random.PRNGKey(33))
+    _, b = q(jax.random.PRNGKey(33))
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) < 1e-2, (a.mean(), b.mean())
+    assert abs(a.std() - b.std()) < 1e-2, (a.std(), b.std())
+    ca = np.corrcoef(a[:, 0], a[:, 32])[0, 1]
+    cb = np.corrcoef(b[:, 0], b[:, 32])[0, 1]
+    assert abs(ca - cb) < 5e-2, (ca, cb)
+
+
 def test_langevin_kernel_moments_on_trained_model(trained):
     """Trained-model statistical pin for the langevin-corrector kernel path
     (VERDICT r2 weak #3: the twin test tolerates 6e-2*scale because
