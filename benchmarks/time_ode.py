@@ -75,6 +75,30 @@ def main():
     except Exception as e:  # noqa: BLE001
         rows.append(("PF-ODE RK4, Pallas kernel", float("nan"), str(e)))
 
+    # --- few-step deterministic samplers (same PF-ODE flow) -------------
+    from dposer_tpu.diffusion.few_step import (get_ddim_sampler,
+                                               get_dpm_sampler,
+                                               get_pallas_ddim_sampler)
+
+    ddim = get_ddim_sampler(sde, model, params, (BATCH, DIM), n_steps=50,
+                            eps=1e-3, denoise=False)
+    t = steady(ddim, (key,))
+    rows.append(("DDIM 50 steps (tabled XLA)", t, f"{BATCH / t:,.0f} poses/s"))
+    try:
+        pal_ddim = get_pallas_ddim_sampler(sde, model, params, (BATCH, DIM),
+                                           n_steps=50, eps=1e-3,
+                                           denoise=False, rng_mode="kernel")
+        t = steady(pal_ddim, (key,))
+        rows.append(("DDIM 50 steps, Pallas kernel", t,
+                     f"{BATCH / t:,.0f} poses/s"))
+    except Exception as e:  # noqa: BLE001
+        rows.append(("DDIM 50 steps, Pallas kernel", float("nan"), str(e)))
+    dpm = get_dpm_sampler(sde, model, params, (BATCH, DIM), n_steps=20,
+                          eps=1e-3, denoise=False)
+    t = steady(dpm, (key,))
+    rows.append(("DPM-Solver++(2M) 20 steps (tabled XLA)", t,
+                 f"{BATCH / t:,.0f} poses/s"))
+
     fast_pf = get_fast_pc_sampler(sde, model, params, (BATCH, DIM), eps=1e-5,
                                   denoise=True, probability_flow=True)
     t = steady(fast_pf, (key,))

@@ -1,0 +1,203 @@
+"""Few-step deterministic samplers: DDIM and DPM-Solver++(2M).
+
+The reference's generation protocols run 1000 sequential EM steps
+(ref sampling.py:456-461, config.model.num_scales=1000) — every sample
+costs 1000 network evaluations. Diffusion serving standardly cuts this
+10-50x with deterministic few-step integrators at matched sample quality;
+this module provides the two standard ones, built on the same tabled
+machinery as ``fast_sampler``:
+
+- **DDIM** (Song et al., ICLR'21 — the eta=0 deterministic sampler): the
+  update ``x' = (a'/a) x + (s' - (a'/a) s) eps_hat`` is EXACTLY the fused
+  EM kernel's 3-scalar form with zero noise, so the Pallas single-kernel
+  path comes free via a table override (``get_pallas_ddim_sampler``).
+  The same update already appears in-tree as the aux-loss multi-step
+  denoise (losses.py ``multi_step_denoise``, ref losses.py:91-106).
+- **DPM-Solver++(2M)** (Lu et al.'22 — second-order multistep,
+  data-prediction form): per step
+  ``x' = (s'/s) x - a' (e^{-h} - 1) D`` with ``D`` the extrapolated
+  x0-prediction ``(1 + 1/(2r)) x0_i - 1/(2r) x0_{i-1}``; noticeably
+  better than DDIM below ~25 steps.
+
+Both support every SDE family with Gaussian marginals ``x_t = a(t) x0 +
+s(t) eps`` (VP / subVP — including its non-sqrt std convention, since
+``return_alpha_sigma`` returns the TRUE marginal std — and VE via
+a=1), and a uniform-t or uniform-log-SNR (``grid="lambda"``) step grid.
+
+Quality contract: distribution-level agreement with the 1000-step EM
+sampler on a trained model, pinned in
+``tests/test_golden_pipeline.py::test_few_step_samplers_match_em_distribution``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.score_mlp import ScoreModelFC
+from .fast_sampler import (_corrector_tables, _labels_for,
+                           make_fast_forward, precompute_time_tables)
+from .sde import SDE
+
+
+def _alpha_sigma_1d(sde: SDE, taus: jnp.ndarray):
+    a, s = sde.return_alpha_sigma(taus)
+    return a.reshape(-1), s.reshape(-1)
+
+
+def step_grid(sde: SDE, n_points: int, eps: float,
+              grid: str = "t") -> jnp.ndarray:
+    """``n_points`` time points from T to eps — uniform in t, or uniform in
+    log-SNR lambda = log(alpha/sigma) (``grid="lambda"``, the DPM-Solver
+    papers' choice; inverted numerically on a fine t-grid)."""
+    if grid == "t":
+        return jnp.linspace(sde.T, eps, n_points)
+    if grid != "lambda":
+        raise ValueError(f"grid must be 't' or 'lambda', got {grid!r}")
+    t_fine = jnp.linspace(sde.T, eps, 4096)
+    a, s = _alpha_sigma_1d(sde, t_fine)
+    lam_fine = jnp.log(a) - jnp.log(s)
+    lams = jnp.linspace(lam_fine[0], lam_fine[-1], n_points)
+    # lam_fine increases as t decreases -> interp over the reversed axis
+    taus = jnp.interp(lams, lam_fine, t_fine)
+    return taus.at[0].set(sde.T).at[-1].set(eps)
+
+
+def _eps_hat_scale(sde: SDE, taus: jnp.ndarray, out_scale):
+    """Per-point c with eps_hat = c * raw_model_out (the noise-prediction
+    adapter: eps_hat = -score * sigma, score = score_scale * raw)."""
+    score_scale, _ = _corrector_tables(sde, taus, out_scale)
+    _, s = _alpha_sigma_1d(sde, taus)
+    return -score_scale * s
+
+
+def ddim_tables(sde: SDE, n_steps: int, eps: float, model: ScoreModelFC,
+                params, denoise: bool = True, grid: str = "t"):
+    """(taus_eval, cx, cout, cnoise=0) rows for the 3-scalar update
+    ``x' = cx*x + cout*raw_out`` — directly consumable by the fused EM
+    kernel's table contract. With ``denoise`` a final x0-projection row
+    ``x0_hat = x/a_eps - (s_eps/a_eps) eps_hat`` is appended (the kernel's
+    ``denoise=True`` returns exactly that row's mean)."""
+    taus = step_grid(sde, n_steps + 1, eps, grid)
+    a, s = _alpha_sigma_1d(sde, taus)
+    _, oscale = precompute_time_tables(model, params, _labels_for(sde, taus))
+    ehat = _eps_hat_scale(sde, taus, oscale)
+
+    cx = a[1:] / a[:-1]
+    cout = (s[1:] - cx * s[:-1]) * ehat[:-1]
+    taus_eval = taus[:-1]
+    if denoise:
+        cx = jnp.concatenate([cx, (1.0 / a[-1:])])
+        cout = jnp.concatenate([cout, -(s[-1:] / a[-1:]) * ehat[-1:]])
+        taus_eval = taus
+    return taus_eval, cx, cout, jnp.zeros_like(cx)
+
+
+def get_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
+                     shape: Tuple[int, ...], n_steps: int = 50,
+                     eps: float = 1e-3, denoise: bool = True,
+                     grid: str = "t", jit: bool = True):
+    """Tabled XLA DDIM: ``sampler(key, z=None) -> (nfe, x)``."""
+    taus_eval, cx, cout, _ = ddim_tables(sde, n_steps, eps, model, params,
+                                         denoise=denoise, grid=grid)
+    labels = _labels_for(sde, taus_eval)
+    tprojs, out_scale = precompute_time_tables(model, params, labels)
+    # raw forward: ddim_tables already folded any sigma output scaling
+    fwd = make_fast_forward(model, params, tprojs, None)
+    del out_scale
+    n_rows = int(taus_eval.shape[0])
+
+    def sampler(key, z: Optional[jnp.ndarray] = None):
+        x = sde.prior_sampling(key, shape) if z is None else z
+
+        def body(x, i):
+            return cx[i] * x + cout[i] * fwd(x, i), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_rows))
+        return n_rows, x
+
+    return jax.jit(sampler) if jit else sampler
+
+
+def get_pallas_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
+                            shape: Tuple[int, ...], n_steps: int = 50,
+                            eps: float = 1e-3, denoise: bool = True,
+                            grid: str = "t", **kw):
+    """DDIM through the fused EM Pallas kernel (one dispatch for the whole
+    few-step loop; weights VMEM-resident): the DDIM rows ARE the kernel's
+    3-scalar table contract. Accepts the kernel's extra options
+    (``interpret``, ``batch_block``, ``mesh``, ``quant``/``act_amax``...).
+
+    ``sampler(key, z=None) -> (nfe, x)``.
+    """
+    from ..ops.pallas.fused_em import get_pallas_em_sampler
+
+    taus_eval, cx, cout, cnoise = ddim_tables(sde, n_steps, eps, model,
+                                              params, denoise=denoise,
+                                              grid=grid)
+    # the kernel's denoise flag returns the LAST row's mean (= the x0
+    # projection row when denoise, = the final DDIM mean otherwise: with
+    # cnoise = 0 both conventions coincide)
+    inner = get_pallas_em_sampler(
+        sde, model, params, shape, eps=eps, denoise=denoise,
+        _tables_override=(taus_eval, cx, cout, cnoise), **kw)
+    n_rows = int(taus_eval.shape[0])
+
+    def sampler(key, z: Optional[jnp.ndarray] = None):
+        _, x = inner(key, z=z)
+        return n_rows, x
+
+    return sampler
+
+
+def get_dpm_sampler(sde: SDE, model: ScoreModelFC, params,
+                    shape: Tuple[int, ...], n_steps: int = 20,
+                    eps: float = 1e-3, denoise: bool = True,
+                    grid: str = "lambda", jit: bool = True):
+    """Tabled DPM-Solver++(2M): second-order multistep in data-prediction
+    form; ``sampler(key, z=None) -> (nfe, x)``. The scan carries the
+    previous step's x0-prediction; the first step is first-order (DDIM in
+    x0 form). ``grid`` defaults to uniform log-SNR per the paper."""
+    taus = step_grid(sde, n_steps + 1, eps, grid)
+    a, s = _alpha_sigma_1d(sde, taus)
+    labels = _labels_for(sde, taus)
+    tprojs, out_scale = precompute_time_tables(model, params, labels)
+    ehat = _eps_hat_scale(sde, taus, out_scale)
+    fwd = make_fast_forward(model, params, tprojs, None)
+
+    lam = jnp.log(a) - jnp.log(s)
+    h = lam[1:] - lam[:-1]
+    r = jnp.concatenate([jnp.ones((1,)), h[:-1] / h[1:]])  # r_j = h_{j-1}/h_j
+    c_x = s[1:] / s[:-1]
+    c_D = -a[1:] * (jnp.exp(-h) - 1.0)
+    # x0_hat_j = (x - s_j * ehat_j * raw) / a_j
+    d1 = 1.0 / a[:-1]
+    d2 = -(s[:-1] / a[:-1]) * ehat[:-1]
+    # D_j = (1 + 1/(2 r_j)) x0_j - 1/(2 r_j) x0_{j-1}; first step: D_0 = x0_0
+    w_prev = jnp.concatenate([jnp.zeros((1,)), 1.0 / (2.0 * r[1:])])
+    n_rows = int(h.shape[0])
+    d_last1 = 1.0 / a[-1]
+    d_last2 = -(s[-1] / a[-1]) * ehat[-1]
+
+    def sampler(key, z: Optional[jnp.ndarray] = None):
+        x = sde.prior_sampling(key, shape) if z is None else z
+
+        def body(carry, i):
+            x, x0_prev = carry
+            x0 = d1[i] * x + d2[i] * fwd(x, i)
+            D = (1.0 + w_prev[i]) * x0 - w_prev[i] * x0_prev
+            x_new = c_x[i] * x + c_D[i] * D
+            return (x_new, x0), None
+
+        (x, x0_last), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)),
+                                       jnp.arange(n_rows))
+        nfe = n_rows
+        if denoise:
+            # final x0 projection at eps (one extra eval, as the EM/DDIM
+            # denoise convention)
+            x = d_last1 * x + d_last2 * fwd(x, n_rows)
+            nfe += 1
+        return nfe, x
+
+    return jax.jit(sampler) if jit else sampler

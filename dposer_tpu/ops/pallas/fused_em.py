@@ -227,6 +227,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           probability_flow: bool = False,
                           predictor: str = "euler_maruyama",
                           quant: str = None, act_amax=None,
+                          _tables_override=None,
                           _ablate: frozenset = frozenset()):
     """Build the single-kernel PC sampler.
 
@@ -250,6 +251,11 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     (host/XLA); the returned callable launches exactly one TPU kernel
     (per device, when ``mesh`` is given).
 
+    ``_tables_override=(timesteps, cx, cout, cnoise)`` replaces the EM
+    coefficient tables (and the step count) with caller-built rows whose
+    ``cout`` already folds any sigma output scaling — the few-step DDIM
+    path (``diffusion/few_step.py``) reuses the whole kernel this way.
+
     rng_mode: "host" streams pregenerated normals from HBM as [N, K, B, D]
     slabs in kernel order corr_0..corr_{S-1}, imput_c, em, imput_p (stream
     reproducible under jax PRNG; ``noise=`` injects them for tests — a plain
@@ -269,7 +275,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                                 interpret, rng_mode, batch_block, corrector,
                                 snr, n_corrector_steps, imputation, mesh,
                                 gn, probability_flow, predictor, quant,
-                                act_amax, _ablate)
+                                act_amax, _tables_override, _ablate)
 
     kernel_rng = rng_mode == "kernel"
     # VMEM budget guard: weights (bf16, or int8 in quant mode) + x/noise/tp
@@ -293,7 +299,6 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     batch, dim = shape
     hidden = model.hidden_dim
     n_blocks = model.n_blocks
-    n_steps = sde.N
     # grid over batch blocks: arbitrary batch sizes run block-sequentially
     # with weights VMEM-resident, each block doing the full N-step loop
     batch_blk = min(_round_up(batch, 128), batch_block)
@@ -301,16 +306,20 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     n_blk = batch_p // batch_blk
     dim_p = _round_up(dim, 128)
 
-    timesteps = sde.timesteps(eps)
+    if _tables_override is None:
+        timesteps = sde.timesteps(eps)
+        cx, cout, cnoise = _pred_tables(sde, timesteps, predictor,
+                                        probability_flow=probability_flow)
+    else:
+        timesteps, cx, cout, cnoise = _tables_override
+    n_steps = int(timesteps.shape[0])
     labels = _labels_for(sde, timesteps)
-    cx, cout, cnoise = _pred_tables(sde, timesteps, predictor,
-                                    probability_flow=probability_flow)
     net = build_network_operands(model, params, dim, dim_p, labels, gn=gn,
                                  quant=quant, act_amax=act_amax)
     out_scale = net["out_scale"]
     score_scale, alpha = _corrector_tables(sde, timesteps, out_scale)
     imput_mc, imput_std = _imputation_tables(sde, timesteps)
-    if out_scale is not None:
+    if out_scale is not None and _tables_override is None:
         cout = cout * out_scale
     coefs = jnp.stack([cx, cout, cnoise, score_scale, alpha, imput_mc,
                        imput_std, jnp.zeros_like(cx)], axis=1).astype(jnp.float32)
@@ -420,7 +429,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
 def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
                      rng_mode, batch_block, corrector, snr, n_corrector_steps,
                      imputation, mesh, gn, probability_flow, predictor,
-                     quant, act_amax, _ablate):
+                     quant, act_amax, _tables_override, _ablate):
     """shard_map the single-device kernel over the mesh's batch shards."""
     from jax.sharding import PartitionSpec as P
 
@@ -438,7 +447,8 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
         corrector=corrector, snr=snr, n_corrector_steps=n_corrector_steps,
         imputation=imputation, mesh=None, gn=gn,
         probability_flow=probability_flow, predictor=predictor,
-        quant=quant, act_amax=act_amax, _ablate=_ablate)
+        quant=quant, act_amax=act_amax, _tables_override=_tables_override,
+        _ablate=_ablate)
     axis = DATA_AXIS
     cache = {}
 

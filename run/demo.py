@@ -54,6 +54,17 @@ def parse_args(argv):
     parser.add_argument("--output-path", type=str, default="./output/test_results")
     parser.add_argument("--device", type=str, default=None, help="unused (JAX backend)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--sampler", type=str, default="pc",
+                        choices=["pc", "ddim", "dpm"],
+                        help="generation sampler: the reference's PC loop "
+                             "(default), or the few-step deterministic "
+                             "integrators — DDIM (single Pallas kernel on "
+                             "TPU) / DPM-Solver++(2M); both integrate the "
+                             "same probability-flow ODE (PERFORMANCE.md "
+                             "'Few-step samplers')")
+    parser.add_argument("--sampler-steps", type=int, default=None,
+                        help="steps for --sampler ddim/dpm "
+                             "(default: 50 ddim, 20 dpm)")
     parser.add_argument("--quant", type=str, default="none",
                         choices=["none", "int8"],
                         help="opt-in W8A8 serving mode for the Pallas sampler "
@@ -143,7 +154,38 @@ def main(args):
         its scope (EM predictor, none/langevin corrector, positional temb —
         or method='ode' via the RK4 PF-ODE kernel); fall back to the
         generic fused-scan sampler — data-parallel over all local devices —
-        otherwise or off-TPU."""
+        otherwise or off-TPU. ``--sampler ddim|dpm`` swaps in the few-step
+        deterministic integrators (corrector-free paths only — the metrics
+        protocol's langevin corrector keeps the PC sampler)."""
+        if args.sampler != "pc" and config.sampling.corrector == "none":
+            from dposer_tpu.diffusion import few_step
+
+            n_fs = args.sampler_steps or (50 if args.sampler == "ddim" else 20)
+            dn = config.sampling.noise_removal
+            if args.sampler == "ddim":
+                if (config.model.embedding_type == "positional"
+                        and jax.default_backend() == "tpu"):
+                    try:
+                        s = few_step.get_pallas_ddim_sampler(
+                            sde, model, params, shape, n_steps=n_fs, eps=eps,
+                            denoise=dn, rng_mode="kernel",
+                            **quant_kwargs(eps))
+                        s(jax.random.PRNGKey(0))  # compile probe
+                        print(f"[sampler] pallas DDIM kernel, {n_fs} steps"
+                              f"{', int8' if args.quant == 'int8' else ''}")
+                        return lambda k, **kw: (None, s(k, **kw)[1])
+                    except Exception as e:  # noqa: BLE001
+                        print(f"[sampler] pallas DDIM unavailable "
+                              f"({type(e).__name__}); tabled XLA")
+                s = few_step.get_ddim_sampler(sde, model, params, shape,
+                                              n_steps=n_fs, eps=eps,
+                                              denoise=dn)
+                print(f"[sampler] tabled DDIM, {n_fs} steps")
+                return lambda k, **kw: (None, s(k, **kw)[1])
+            s = few_step.get_dpm_sampler(sde, model, params, shape,
+                                         n_steps=n_fs, eps=eps, denoise=dn)
+            print(f"[sampler] tabled DPM-Solver++(2M), {n_fs} steps")
+            return lambda k, **kw: (None, s(k, **kw)[1])
         if (config.sampling.method == "ode"
                 and config.model.embedding_type == "positional"
                 and jax.default_backend() == "tpu"):

@@ -113,6 +113,28 @@ def test_demo_generation(workdir):
     assert "loaded checkpoint" in out
 
 
+def test_demo_generation_few_step_samplers(workdir):
+    """--sampler ddim/dpm: the few-step deterministic integrators drive
+    the generation task end-to-end (on CPU the DDIM kernel falls back to
+    the tabled XLA path)."""
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "generation", "--sampler", "ddim", "--sampler-steps", "8",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--output-path", workdir["out"]])
+    assert "DDIM, 8 steps" in out
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "generation", "--sampler", "dpm",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--output-path", workdir["out"]])
+    assert "DPM-Solver++(2M), 20 steps" in out
+
+
 def test_demo_generation_quant_int8(workdir):
     """--quant int8 (opt-in W8A8 serving mode): the activation-range
     calibration runs up front; on this CPU host the Pallas build then
