@@ -36,9 +36,15 @@ if _os.environ.get("DPOSER_PLATFORM"):
 # otherwise re-pays the full compile of each program it touches — minutes
 # per program on tunneled TPU hosts. Cached executables load in seconds
 # (measured 64 s cold -> 3.9 s cached for the flagship K=64 multi-step
-# train program; see PERFORMANCE.md). Only programs that took >=5 s to
-# compile are persisted. DPOSER_COMPILATION_CACHE=off disables; any other
-# value overrides the default ~/.cache/dposer_tpu/jax directory.
+# train program; see PERFORMANCE.md). DPOSER_COMPILATION_CACHE=off
+# disables; any other value overrides the default ~/.cache/dposer_tpu/jax
+# directory. DPOSER_CACHE_MIN_COMPILE_SECS overrides the persistence
+# threshold (default 0: persist everything — tunneled TPU plugins report
+# PURE compile seconds, excluding the minutes of RPC wait that make a
+# recompile expensive, so jax's usual >=5 s heuristic silently skips
+# exactly the small programs that cost the most wall clock to rebuild;
+# measured: a batch-8 flagship forward reported <5 s, recompiled at
+# 353 s of tunnel wall per fresh process until persisted).
 def _backfill_cache_atimes(cache_dir):
     """Stamp missing ``*-atime`` sidecars so LRU eviction can't poison writes.
 
@@ -69,7 +75,9 @@ if _cache_dir not in ("off", "0", ""):
         _cache_path = _cache_dir or _os.path.join(
             _os.path.expanduser("~"), ".cache", "dposer_tpu", "jax")
         _jax.config.update("jax_compilation_cache_dir", _cache_path)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(_os.environ.get("DPOSER_CACHE_MIN_COMPILE_SECS", "0")))
         # kernel-sampler executables embed their coefficient tables and run
         # ~100 MB each — cap the directory with LRU eviction
         _jax.config.update("jax_compilation_cache_max_size", 4 << 30)

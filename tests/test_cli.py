@@ -472,24 +472,36 @@ def test_compilation_cache_env_knob(tmp_path):
     path honored, 'off' disables — fresh CLI processes otherwise re-pay
     minutes of XLA compile per program on tunneled TPU hosts."""
     prog = ("import dposer_tpu, jax; "
-            "print('dir=' + str(jax.config.jax_compilation_cache_dir))")
+            "print('dir=' + str(jax.config.jax_compilation_cache_dir) + ' "
+            "min=' + str(jax.config.jax_persistent_cache_min_compile_time_secs))")
 
-    def run(cache_env):
+    def run(cache_env, min_secs=None):
         env = dict(os.environ)
         env["DPOSER_PLATFORM"] = "cpu"
         if cache_env is None:
             env.pop("DPOSER_COMPILATION_CACHE", None)
         else:
             env["DPOSER_COMPILATION_CACHE"] = cache_env
+        if min_secs is None:
+            env.pop("DPOSER_CACHE_MIN_COMPILE_SECS", None)
+        else:
+            env["DPOSER_CACHE_MIN_COMPILE_SECS"] = min_secs
         p = subprocess.run([sys.executable, "-c", prog], cwd=REPO, env=env,
                            capture_output=True, text=True, timeout=120)
         assert p.returncode == 0, p.stderr
         return p.stdout.strip().splitlines()[-1]
 
-    assert run(None).endswith(os.path.join(".cache", "dposer_tpu", "jax"))
+    out = run(None)
+    d, m = out.split()
+    assert d.endswith(os.path.join(".cache", "dposer_tpu", "jax"))
+    # default threshold 0: tunneled TPU plugins report PURE compile seconds
+    # (excluding RPC wait), so jax's >=5 s heuristic would skip exactly the
+    # small programs whose recompile costs minutes of tunnel wall clock
+    assert m == "min=0.0"
     custom = str(tmp_path / "xc")
-    assert run(custom) == f"dir={custom}"
-    assert run("off") == "dir=None"
+    assert run(custom).split()[0] == f"dir={custom}"
+    assert run(custom, min_secs="2.5").split()[1] == "min=2.5"
+    assert run("off").split()[0] == "dir=None"
 
 
 def test_compilation_cache_atime_backfill(tmp_path):
