@@ -7,6 +7,13 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep jax's stock >=5 s persistence threshold for the suite (and the CLI
+# subprocesses it spawns, which inherit this env): the package defaults the
+# threshold to 0 for tunneled-TPU hosts, but the suite compiles thousands of
+# tiny CPU programs and jax's LRUCache pays an O(entries) eviction scan per
+# put — persisting them all would slow the single-core suite quadratically.
+# The cache env-knob test clears this to pin the package default.
+os.environ.setdefault("DPOSER_CACHE_MIN_COMPILE_SECS", "5")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
