@@ -23,7 +23,12 @@ import time
 N_SAMPLES = 500
 N_STEPS = 1000
 POSE_DIM = 63
-FALLBACK_BASELINE_POSES_PER_SEC = None  # filled by a previous measurement if any
+# Torch-CPU reference rate measured on this host (2026-08-16 session, the
+# same session as the PERFORMANCE.md headline table). Used only when torch
+# or /root/reference is unavailable AND no cached measurement exists, so
+# vs_baseline never degrades to null. Host-load caveat: torch-CPU throughput
+# varies ~2x with load, so ratios against this constant are approximate.
+FALLBACK_BASELINE_POSES_PER_SEC = 4.45
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline_cache.json")
 
@@ -130,10 +135,11 @@ def measure_torch_cpu_baseline(probe_steps: int = 20) -> float:
     return N_SAMPLES / (elapsed_per_step * N_STEPS)
 
 
-def get_baseline() -> float:
+def get_baseline() -> "tuple[float, str]":
+    """Return (poses_per_sec, source) where source is cache|fresh|fallback."""
     if os.path.exists(BASELINE_CACHE):
         try:
-            return json.load(open(BASELINE_CACHE))["poses_per_sec"]
+            return json.load(open(BASELINE_CACHE))["poses_per_sec"], "cache"
         except Exception:
             pass
     try:
@@ -142,20 +148,21 @@ def get_baseline() -> float:
             json.dump({"poses_per_sec": baseline}, open(BASELINE_CACHE, "w"))
         except OSError:
             pass
-        return baseline
+        return baseline, "fresh"
     except Exception:
-        return FALLBACK_BASELINE_POSES_PER_SEC or float("nan")
+        return FALLBACK_BASELINE_POSES_PER_SEC, "fallback"
 
 
 def main():
     value = measure_tpu()
-    baseline = get_baseline()
+    baseline, source = get_baseline()
     vs = value / baseline if baseline and baseline == baseline else None
     print(json.dumps({
         "metric": "subvp_generation_poses_per_sec",
         "value": round(value, 2),
         "unit": "poses/s (500 samples x 1000 steps)",
         "vs_baseline": None if vs is None else round(vs, 2),
+        "baseline_source": source,
     }))
 
 

@@ -71,13 +71,24 @@ _cache_dir = _os.environ.get("DPOSER_COMPILATION_CACHE")
 if _cache_dir not in ("off", "0", ""):
     import jax as _jax
 
+    # Parse outside the broad try: a malformed value must not abort AFTER
+    # jax_compilation_cache_dir is set, which would silently skip the 4 GB
+    # size cap and leave the cache enabled but unbounded.
+    try:
+        _min_compile_secs = float(
+            _os.environ.get("DPOSER_CACHE_MIN_COMPILE_SECS", "0"))
+    except ValueError:
+        import warnings as _warnings
+        _warnings.warn(
+            "DPOSER_CACHE_MIN_COMPILE_SECS is not a number; using 0")
+        _min_compile_secs = 0.0
+
     try:
         _cache_path = _cache_dir or _os.path.join(
             _os.path.expanduser("~"), ".cache", "dposer_tpu", "jax")
         _jax.config.update("jax_compilation_cache_dir", _cache_path)
         _jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs",
-            float(_os.environ.get("DPOSER_CACHE_MIN_COMPILE_SECS", "0")))
+            "jax_persistent_cache_min_compile_time_secs", _min_compile_secs)
         # kernel-sampler executables embed their coefficient tables and run
         # ~100 MB each — cap the directory with LRU eviction
         _jax.config.update("jax_compilation_cache_max_size", 4 << 30)

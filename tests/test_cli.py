@@ -491,17 +491,23 @@ def test_compilation_cache_env_knob(tmp_path):
         assert p.returncode == 0, p.stderr
         return p.stdout.strip().splitlines()[-1]
 
+    # rsplit on the LAST space: the cache dir path may itself contain spaces
+    # (e.g. a HOME with whitespace), so a plain split() would mis-unpack
     out = run(None)
-    d, m = out.split()
+    d, m = out.rsplit(" ", 1)
     assert d.endswith(os.path.join(".cache", "dposer_tpu", "jax"))
     # default threshold 0: tunneled TPU plugins report PURE compile seconds
     # (excluding RPC wait), so jax's >=5 s heuristic would skip exactly the
     # small programs whose recompile costs minutes of tunnel wall clock
     assert m == "min=0.0"
     custom = str(tmp_path / "xc")
-    assert run(custom).split()[0] == f"dir={custom}"
-    assert run(custom, min_secs="2.5").split()[1] == "min=2.5"
-    assert run("off").split()[0] == "dir=None"
+    assert run(custom).rsplit(" ", 1)[0] == f"dir={custom}"
+    assert run(custom, min_secs="2.5").rsplit(" ", 1)[1] == "min=2.5"
+    # malformed threshold must not abort cache setup mid-way (which would
+    # leave the cache on but skip the 4 GB size cap): falls back to 0
+    assert run(custom, min_secs="5s").rsplit(" ", 1) == [f"dir={custom}",
+                                                         "min=0.0"]
+    assert run("off").rsplit(" ", 1)[0] == "dir=None"
 
 
 def test_compilation_cache_atime_backfill(tmp_path):
