@@ -178,6 +178,112 @@ def load_params_for_inference(path: str, n_blocks: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# Flax -> torch export (the inverse mapping)
+# ---------------------------------------------------------------------------
+
+def _torch_prefix(flax_name: str) -> str:
+    return "shared_time_embed.0" if flax_name == "shared_time_embed_0" else flax_name
+
+
+def export_score_model_state_dict(params: Dict[str, Any],
+                                  sigma_min: float = 0.01,
+                                  sigma_max: float = 50.0,
+                                  num_scales: int = 1000) -> Dict[str, np.ndarray]:
+    """flax ``params`` -> torch ``model_state_dict`` (numpy values).
+
+    Exact inverse of :func:`convert_score_model_state_dict`, plus the two
+    entries the reference model registers but this framework does not carry:
+
+    - ``pre_dense_cond.{weight,bias}``: dead layer (never used in forward,
+      ref model.py:111) but present in ``nn.Module.state_dict()``, so a
+      strict ``load_state_dict`` on the reference side requires it. Emitted
+      as zeros of shape [hidden, hidden]/[hidden].
+    - ``sigmas``: a registered buffer recomputed from the SMLD ladder
+      (ref utils.py:48-58), geometric from sigma_max down to sigma_min.
+    """
+    sd: Dict[str, np.ndarray] = {}
+    hidden = None
+    for name, leaves in params.items():
+        prefix = _torch_prefix(name)
+        if name == "gauss_proj":
+            sd["gauss_proj.W"] = np.asarray(leaves["W"], dtype=np.float32)
+            continue
+        if "gnorm" in name:
+            sd[f"{prefix}.weight"] = np.asarray(leaves["scale"], dtype=np.float32)
+            sd[f"{prefix}.bias"] = np.asarray(leaves["bias"], dtype=np.float32)
+            continue
+        sd[f"{prefix}.weight"] = np.asarray(leaves["kernel"], dtype=np.float32).T
+        sd[f"{prefix}.bias"] = np.asarray(leaves["bias"], dtype=np.float32)
+        if name == "pre_dense":
+            hidden = int(np.asarray(leaves["kernel"]).shape[1])
+    if hidden is None:
+        raise ValueError("params missing 'pre_dense' — not a ScoreModelFC tree")
+    sd["pre_dense_cond.weight"] = np.zeros((hidden, hidden), dtype=np.float32)
+    sd["pre_dense_cond.bias"] = np.zeros((hidden,), dtype=np.float32)
+    sd["sigmas"] = np.exp(np.linspace(np.log(sigma_max), np.log(sigma_min),
+                                      num_scales)).astype(np.float32)
+    return sd
+
+
+def export_torch_checkpoint(params: Dict[str, Any],
+                            ema_params: Optional[Dict[str, Any]] = None,
+                            step: int = 0,
+                            n_blocks: int = 2,
+                            embedding_type: str = "positional",
+                            ema_decay: float = 0.9999,
+                            ema_num_updates: Optional[int] = None,
+                            sigma_min: float = 0.01,
+                            sigma_max: float = 50.0,
+                            num_scales: int = 1000) -> Dict[str, Any]:
+    """Build a reference-schema ``.pth`` checkpoint dict from flax params.
+
+    Returns the dict ``{model_state_dict, optimizer_state_dict, epoch, step,
+    ema: {decay, num_updates, shadow_params}}`` that the reference's own
+    pipelines consume (``run/demo.py:114-118``, ``run/completion.py:236-240``
+    load model_state_dict + ema strictly). ``shadow_params`` is an ordered
+    torch-tensor list aligned to ``model.parameters()`` registration order
+    (ref ema.py:28-29), with zeros in the dead ``pre_dense_cond`` slots.
+    Values are torch tensors; save with ``torch.save``.
+    """
+    import torch  # host-side export utility
+
+    def to_torch_sd(flax_params):
+        sd = export_score_model_state_dict(flax_params, sigma_min=sigma_min,
+                                           sigma_max=sigma_max,
+                                           num_scales=num_scales)
+        # copy: np.asarray over jax buffers yields non-writable views, which
+        # torch.from_numpy would alias (undefined behavior on torch writes)
+        return {k: torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
+                for k, v in sd.items()}
+
+    model_sd = to_torch_sd(params)
+    ckpt: Dict[str, Any] = {
+        "model_state_dict": model_sd,
+        "optimizer_state_dict": None,  # inference export; not resumable
+        "epoch": 0,
+        "step": int(step),
+    }
+    shadow_source = to_torch_sd(ema_params) if ema_params is not None else model_sd
+    order = torch_parameter_order(n_blocks, embedding_type)
+    ckpt["ema"] = {
+        "decay": float(ema_decay),
+        # our convention stores "disabled warmup counter" as negative
+        # (ema.py:23); torch's is None
+        "num_updates": (None if ema_num_updates is None or ema_num_updates < 0
+                        else int(ema_num_updates)),
+        "shadow_params": [shadow_source[name].clone() for name in order],
+    }
+    return ckpt
+
+
+def save_torch_checkpoint(path: str, *args, **kwargs) -> None:
+    """``export_torch_checkpoint`` + ``torch.save`` to ``path``."""
+    import torch
+
+    torch.save(export_torch_checkpoint(*args, **kwargs), path)
+
+
+# ---------------------------------------------------------------------------
 # Native orbax checkpoints
 # ---------------------------------------------------------------------------
 
@@ -199,20 +305,43 @@ def restore_train_state(path: str, target: Optional[Dict[str, Any]] = None) -> D
 
 
 def _main():
-    """CLI: convert a reference .pth checkpoint to a native orbax directory.
+    """CLI: convert checkpoints in either direction.
 
+        # reference .pth -> native orbax directory
         python -m dposer_tpu.utils.checkpoint ckpt.pth out_dir \
             [--n-blocks 2] [--embedding-type positional]
+
+        # native orbax directory -> reference-schema .pth
+        python -m dposer_tpu.utils.checkpoint train_dir/best_model out.pth
+
+    Direction is inferred: a directory source exports to .pth, a file
+    source converts to orbax.
     """
     import argparse
 
-    parser = argparse.ArgumentParser(description="Convert PyTorch DPoser "
-                                     "checkpoints to native orbax format.")
-    parser.add_argument("src", help="reference .pth checkpoint")
-    parser.add_argument("dst", help="output orbax directory")
+    parser = argparse.ArgumentParser(description="Convert DPoser checkpoints "
+                                     "between PyTorch .pth and native orbax.")
+    parser.add_argument("src", help=".pth checkpoint or orbax directory")
+    parser.add_argument("dst", help="output orbax directory or .pth path")
     parser.add_argument("--n-blocks", type=int, default=2)
     parser.add_argument("--embedding-type", type=str, default="positional")
     args = parser.parse_args()
+
+    if os.path.isdir(args.src):  # export: orbax train state -> .pth
+        state = restore_train_state(args.src)
+        ema = state.get("ema") or {}
+        save_torch_checkpoint(
+            args.dst, state["params"],
+            ema_params=ema.get("shadow_params"),
+            step=int(state.get("step", 0)),
+            n_blocks=args.n_blocks, embedding_type=args.embedding_type,
+            ema_decay=float(ema.get("decay", 0.9999)),
+            ema_num_updates=(None if ema.get("num_updates") is None
+                             else int(ema["num_updates"])))
+        n = sum(np.asarray(p).size for p in jax.tree.leaves(state["params"]))
+        print(f"exported {args.src} (step {int(state.get('step', 0))}, "
+              f"{n / 1e6:.2f}M params) -> {args.dst}")
+        return
 
     cv = convert_torch_checkpoint(args.src, n_blocks=args.n_blocks,
                                   embedding_type=args.embedding_type)
