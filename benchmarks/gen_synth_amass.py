@@ -22,6 +22,21 @@ import numpy as np
 D = 63  # 21 joints x 3 (axis-angle)
 
 
+def make_mixture(rng):
+    """The shared synthetic-AMASS mixture: 64 correlated components.
+
+    Exposed so sibling generators (gen_synth_motion.py) can draw temporally
+    coherent sequences from the SAME distribution the prior is trained on.
+    NOTE: consumes draws from ``rng`` in a fixed order — call before any
+    other sampling to keep dataset reproducibility for a given seed.
+    """
+    centers = (0.5 * rng.normal(size=(64, D))).astype(np.float32)
+    centers *= rng.uniform(0.2, 1.0, size=(1, D)).astype(np.float32)
+    mixweights = rng.dirichlet(np.full(64, 2.0))
+    basis = (0.12 * rng.normal(size=(8, D))).astype(np.float32)
+    return centers, mixweights, basis
+
+
 def sample_poses(rng, n, centers, mixweights, basis):
     comp = rng.choice(len(centers), size=n, p=mixweights)
     # low-rank correlated noise + small isotropic jitter
@@ -41,10 +56,7 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    centers = (0.5 * rng.normal(size=(64, D))).astype(np.float32)
-    centers *= rng.uniform(0.2, 1.0, size=(1, D)).astype(np.float32)
-    mixweights = rng.dirichlet(np.full(64, 2.0))
-    basis = (0.12 * rng.normal(size=(8, D))).astype(np.float32)
+    centers, mixweights, basis = make_mixture(rng)
 
     for subset, n in (("train", args.train_n), ("test", args.test_n),
                       ("valid", max(args.test_n // 2, 1))):

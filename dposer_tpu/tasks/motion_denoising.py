@@ -59,9 +59,14 @@ class MotionDenoise:
         return out.v, out.Jtr
 
     def _get_run(self, T: int, time_strategy: str, sample_trun: float,
-                 sample_time: int, iterations: int, steps_per_iter: int):
+                 sample_time: int, iterations: int, steps_per_iter: int,
+                 instrument: bool = False):
+        """``instrument=True`` returns ``(smooth_poses, trace)`` where trace
+        is a dict of per-step raw and weighted loss terms ([total_steps]
+        each) — the diagnostic seam for the protocol (see
+        benchmarks/diag_motion_denoising.py)."""
         cache_key = (T, time_strategy, sample_trun, sample_time, iterations,
-                     steps_per_iter)
+                     steps_per_iter, instrument)
         if cache_key in self._run_cache:
             return self._run_cache[cache_key]
 
@@ -84,7 +89,10 @@ class MotionDenoise:
             w_temp = 10.0 * (1.0 + it)
             w_data = 100.0 / (1.0 + it * it)
             w_dposer = 0.1 * (1.0 + it) * self.dposer_weight
-            return w_temp * temp + w_data * data + w_dposer * dposer
+            terms = {"temp": temp, "data": data, "dposer": dposer,
+                     "w_temp": w_temp * temp, "w_data": w_data * data,
+                     "w_dposer": w_dposer * dposer}
+            return w_temp * temp + w_data * data + w_dposer * dposer, terms
 
         @jax.jit
         def run(key, poses0, init_joints):
@@ -94,17 +102,18 @@ class MotionDenoise:
                 poses, opt_state = carry
                 it = i // steps_per_iter
                 k_t, k_z = jax.random.split(jax.random.fold_in(key, i))
-                grads = jax.grad(total_loss)(poses, init_joints, k_t, k_z, i, it)
+                grads, terms = jax.grad(total_loss, has_aux=True)(
+                    poses, init_joints, k_t, k_z, i, it)
                 updates, opt_state = opt.update(grads, opt_state, poses)
                 poses = optax.apply_updates(poses, updates)
-                return (poses, opt_state), None
+                return (poses, opt_state), (terms if instrument else None)
 
-            (poses, _), _ = jax.lax.scan(step, (poses0, opt_state),
-                                         jnp.arange(total_steps, dtype=jnp.int32))
+            (poses, _), trace = jax.lax.scan(step, (poses0, opt_state),
+                                             jnp.arange(total_steps, dtype=jnp.int32))
             # smoothing for demo consistency; endpoints kept (ref :283-285)
             smooth = gaussian_smoothing(poses, window_size=3, sigma=2.0)
             smooth = smooth.at[0].set(poses[0]).at[-1].set(poses[-1])
-            return smooth
+            return (smooth, trace) if instrument else smooth
 
         self._run_cache[cache_key] = run
         return run
@@ -160,9 +169,11 @@ class MotionDenoise:
                  gt_poses: Optional[jnp.ndarray] = None, time_strategy: str = "3",
                  sample_trun: float = 2.0, sample_time: int = 990,
                  iterations: int = 5, steps_per_iter: int = 50,
-                 verbose: bool = False) -> Dict[str, np.ndarray]:
+                 verbose: bool = False,
+                 instrument: bool = False) -> Dict[str, np.ndarray]:
         """joints3d: [T, 22, 3] noisy joints; returns metric dict (cm) and
-        stores the denoised poses on ``self.last_poses``."""
+        stores the denoised poses on ``self.last_poses`` (plus the per-step
+        loss-term trace on ``self.last_trace`` when ``instrument``)."""
         T = joints3d.shape[0]
         init_joints = jax.lax.stop_gradient(joints3d)
 
@@ -170,8 +181,11 @@ class MotionDenoise:
         poses0 = 0.01 * jax.random.normal(k_init, (T, 63))
 
         run = self._get_run(T, time_strategy, sample_trun, sample_time,
-                            iterations, steps_per_iter)
+                            iterations, steps_per_iter, instrument=instrument)
         poses = run(key, poses0, init_joints)
+        if instrument:
+            poses, trace = poses
+            self.last_trace = {k: np.asarray(v) for k, v in trace.items()}
         self.last_poses = poses
 
         results: Dict[str, np.ndarray] = {}

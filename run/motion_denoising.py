@@ -46,7 +46,29 @@ def parse_args(argv):
                         help="fragments denoised per vmapped TPU program in "
                              "directory mode (beyond-reference; the reference "
                              "runs fragments sequentially)")
+    # schedule overrides (default None = the reference's per-noise-level
+    # schedule, ref motion_denoising.py:329-336 — tuned on real SMPL-X at
+    # human scale; synthetic-fixture protocol runs recalibrate, see
+    # benchmarks/diag_motion_denoising.py)
+    parser.add_argument("--lr", type=float, default=None,
+                        help="Adam learning rate (default 0.03)")
+    parser.add_argument("--iterations", type=int, default=None,
+                        help="override schedule iterations")
+    parser.add_argument("--steps-per-iter", type=int, default=None,
+                        help="override schedule steps per iteration")
     return parser.parse_args(argv[1:])
+
+
+def schedule_for(args):
+    """Reference per-noise-level schedule with CLI overrides applied."""
+    from dposer_tpu.tasks.motion_denoising import noise_schedule_kwargs
+
+    sched = noise_schedule_kwargs(args.noise_std)
+    if args.iterations is not None:
+        sched["iterations"] = args.iterations
+    if args.steps_per_iter is not None:
+        sched["steps_per_iter"] = args.steps_per_iter
+    return sched
 
 
 def denoise(config, args, sde, score_fn, normalizer, gt_file, out_path,
@@ -56,7 +78,6 @@ def denoise(config, args, sde, score_fn, normalizer, gt_file, out_path,
 
     from dposer_tpu.body_model.smplx_jax import BodyModel
     from dposer_tpu.tasks import MotionDenoise
-    from dposer_tpu.tasks.motion_denoising import noise_schedule_kwargs
 
     motion_data_gt = np.load(gt_file)["pose_body"]
     batch_size = len(motion_data_gt)
@@ -74,8 +95,9 @@ def denoise(config, args, sde, score_fn, normalizer, gt_file, out_path,
     dposer_weight = 1e-1 if args.time_strategy == "1" else 1.0
 
     md = MotionDenoise(sde, score_fn, body_model, normalizer,
-                       dposer_weight=dposer_weight, batch_size=batch_size)
-    kwargs = noise_schedule_kwargs(std)
+                       dposer_weight=dposer_weight, batch_size=batch_size,
+                       lr=args.lr if args.lr is not None else 0.03)
+    kwargs = schedule_for(args)
     results = md.optimize(k_opt, noisy_joints3d, gt_poses,
                           time_strategy=args.time_strategy, verbose=verbose,
                           **kwargs)
@@ -125,7 +147,6 @@ def main(args):
 
     from dposer_tpu.body_model.smplx_jax import BodyModel
     from dposer_tpu.tasks import MotionDenoise
-    from dposer_tpu.tasks.motion_denoising import noise_schedule_kwargs
 
     # fragments grouped by length and denoised --batch-fragments at a time
     # under ONE vmapped program (beyond-reference: the reference loops
@@ -133,7 +154,7 @@ def main(args):
     # PRNG is keyed by sequence index, so results are independent of the
     # batching
     dposer_weight = 1e-1 if args.time_strategy == "1" else 1.0
-    sched = noise_schedule_kwargs(args.noise_std)
+    sched = schedule_for(args)
     gts = {seq: np.load(os.path.join(args.data_dir, seq))["pose_body"].astype(np.float32)
            for seq in seqs}
     by_len = {}
@@ -155,6 +176,7 @@ def main(args):
                                batch_size=T, num_betas=10)
         md = MotionDenoise(sde, score_fn, body_model, normalizer,
                            dposer_weight=dposer_weight, batch_size=T,
+                           lr=args.lr if args.lr is not None else 0.03,
                            mesh=md_mesh)
         for c0 in range(0, len(group), args.batch_fragments):
             chunk = group[c0:c0 + args.batch_fragments]

@@ -29,7 +29,14 @@ def _parents(model_type):
     return _BODY22 + [15, 15, 15] + hand(20, 25) + hand(21, 40)
 
 
-def make_synthetic_body_model(path, model_type="smplx", n_verts=120, seed=0):
+def make_synthetic_body_model(path, model_type="smplx", n_verts=120, seed=0,
+                              template_scale=1.0):
+    """``template_scale`` scales every spatial quantity (template, shape/pose
+    blendshapes). 1.0 (default, the historical fixture) yields ~1-2 m bones;
+    0.15 yields human-scale ~0.2-0.4 m bones — use that for protocol runs
+    where metric scale matters (motion denoising, HMR), since real SMPL-X
+    bodies are ~1.7 m and the reference's noise/threshold constants (e.g.
+    noise-std 0.04 m, ref run/motion_denoising.py:329-336) assume it."""
     rng = np.random.default_rng(seed)
     n_joints = {"smpl": 24, "smplh": 52, "smplx": 55}[model_type]
 
@@ -66,6 +73,14 @@ def make_synthetic_body_model(path, model_type="smplx", n_verts=120, seed=0):
 
     faces = rng.integers(0, n_verts, size=(64, 3)).astype(np.int32)
 
+    if template_scale != 1.0:
+        # applied at the end so the rng draw sequence (and therefore every
+        # scale-1.0 golden fixture) is unchanged
+        s = np.float32(template_scale)
+        v_template = v_template * s
+        shapedirs = shapedirs * s
+        posedirs = posedirs * s
+
     data = dict(v_template=v_template, shapedirs=shapedirs, posedirs=posedirs,
                 J_regressor=J_regressor, weights=weights,
                 kintree_table=kintree_table, f=faces)
@@ -84,14 +99,15 @@ def make_synthetic_body_model(path, model_type="smplx", n_verts=120, seed=0):
     return str(path), vertex_ids
 
 
-def make_stats_dir(dirpath, dim=63, rng=None):
-    """Write identity-ish normalization stats in the reference layout (.npz)."""
+def make_stats_dir(dirpath, dim=63, rng=None, mean=None, std=None):
+    """Write normalization stats in the reference layout (.npz). Defaults to
+    identity-ish stats; pass ``mean``/``std`` arrays to match a dataset."""
     import os
 
     rng = rng or np.random.default_rng(0)
     os.makedirs(dirpath, exist_ok=True)
-    mean = np.zeros(dim, np.float32)
-    std = np.ones(dim, np.float32)
+    mean = np.zeros(dim, np.float32) if mean is None else np.asarray(mean, np.float32)
+    std = np.ones(dim, np.float32) if std is None else np.asarray(std, np.float32)
     np.savez(os.path.join(dirpath, "axis_normalize1.npz"),
              min_poses=-np.ones(dim, np.float32) * 3,
              max_poses=np.ones(dim, np.float32) * 3,

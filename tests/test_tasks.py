@@ -148,3 +148,99 @@ def test_motion_denoising_batch_matches_sequential(motion_setup, rng):
         np.testing.assert_allclose(np.asarray(batched[i]),
                                    np.asarray(md.last_poses),
                                    rtol=1e-5, atol=1e-6, err_msg=f"fragment {i}")
+
+
+# ---------------------------------------------------------------------------
+# Trained-prior protocol regression (VERDICT r3 item 1c)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trained_motion_setup(tmp_path_factory):
+    """Human-scale body model + temporally coherent fragment + a score model
+    actually TRAINED (DSM) on the protocol mixture — the full config-3
+    pipeline in miniature, so the denoising contract (final MPJPE < init
+    MPJPE, ref run/motion_denoising.py:210-212,292-299) can't silently rot
+    the way the round-3 i.i.d.-fragment protocol did."""
+    import os
+    import sys
+
+    import optax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks"))
+    from gen_synth_amass import make_mixture, sample_poses
+    from gen_synth_motion import sample_sequence
+
+    from dposer_tpu.body_model.smplx_jax import BodyModel
+    from dposer_tpu.diffusion.losses import get_sde_loss_fn
+    from dposer_tpu.diffusion.score_fn import get_score_fn
+    from dposer_tpu.models import ScoreModelFC
+
+    tmp = tmp_path_factory.mktemp("trained_md")
+    path, vids = make_synthetic_body_model(tmp / "m.npz", "smplx",
+                                           template_scale=0.15)
+    bm = BodyModel(path, vertex_ids=vids)
+
+    centers, mixweights, basis = make_mixture(np.random.default_rng(0))
+    data = sample_poses(np.random.default_rng(5), 16384, centers, mixweights,
+                        basis)
+    mean, std = data.mean(0), data.std(0)
+    stats = make_stats_dir(tmp / "stats", mean=mean, std=std)
+    nz = PoseNormalizer(stats, normalize=True, min_max=False, rot_rep="axis")
+    normed = jnp.asarray((data - mean) / std)
+
+    sde = sde_lib.SubVPSDE(N=500)
+    model = ScoreModelFC(n_poses=21, pose_dim=3, hidden_dim=256, embed_dim=128,
+                         n_blocks=2, dropout=0.0)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, DIM)), jnp.zeros((1,)))["params"]
+
+    def model_apply(p, x, labels, k, train):
+        return model.apply({"params": p}, x, labels)
+
+    loss_fn = get_sde_loss_fn(sde, train=True, model_apply=model_apply)
+    opt = optax.adam(1e-3)
+
+    @jax.jit
+    def train_steps(params, opt_state, key, n=400, batch=256):
+        def step(carry, i):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, i)
+            k_b, k_l = jax.random.split(k)
+            idx = jax.random.randint(k_b, (batch,), 0, normed.shape[0])
+            loss, grads = jax.value_and_grad(loss_fn)(params, k_l, normed[idx])
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(n, dtype=jnp.int32))
+        return params, losses
+
+    params, losses = train_steps(params, opt.init(params), jax.random.PRNGKey(7))
+    assert float(losses[-20:].mean()) < 0.5 * float(losses[:20].mean()), \
+        "tiny prior failed to train"
+
+    score_fn = get_score_fn(sde, lambda x, t: model.apply({"params": params}, x, t),
+                            continuous=True)
+    frag = sample_sequence(np.random.default_rng(77), 16, centers, mixweights,
+                           basis, 30.0)
+    return bm, nz, sde, score_fn, jnp.asarray(frag)
+
+
+def test_motion_denoising_trained_prior_beats_init(trained_motion_setup):
+    """The reference contract on the full miniature pipeline: denoised MPJPE
+    strictly below the init (noise-floor) MPJPE, with the synthetic-world
+    recalibrated schedule (lr 0.05, 3x150; see
+    benchmarks/diag_motion_denoising.py for the calibration)."""
+    bm, nz, sde, score_fn, gt = trained_motion_setup
+    T = gt.shape[0]
+    md = MotionDenoise(sde, score_fn, bm, nz, dposer_weight=1.0,
+                       batch_size=T, lr=0.05)
+    joints = bm(pose_body=gt).Jtr[:, :22]
+    noisy = joints + 0.04 * jax.random.normal(jax.random.PRNGKey(3), joints.shape)
+    res = md.optimize(jax.random.PRNGKey(4), noisy, gt, time_strategy="3",
+                      iterations=3, steps_per_iter=150, sample_trun=4.0,
+                      sample_time=490)
+    init = float(np.mean(res["init_MPJPE"]))
+    final = float(np.mean(res["MPJPE"]))
+    assert final < init, (init, final)
+    assert np.isfinite(res["MPVPE"]).all()
