@@ -27,9 +27,12 @@ ref run/demo.py:142 + sampling.py:273-302) and completion2 imputation
 (ref sampling.py:410-427).
 
 Langevin note: the corrector's step size normalizes by batch-mean gradient/
-noise norms (ref sampling.py:287-292). The kernel computes those means per
-batch block (exact when one block covers the batch, e.g. the 500-sample
-protocols); multi-block runs use block-local norms — a documented delta.
+noise norms (ref sampling.py:287-292). Grid blocks run their full N-step
+loops sequentially, so cross-block means per step are structurally
+impossible — corrector runs therefore WIDEN the block to cover the whole
+batch (norms stay exact); if that doesn't fit the VMEM budget the builder
+raises and callers fall back to the XLA sampler (run/demo.py wraps every
+build in try/except for exactly this).
 
 Multi-chip: pass ``mesh=`` to run the kernel per-device under ``shard_map``
 with the batch dim sharded (each chip executes the full N-step loop on its
@@ -278,33 +281,42 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                                 act_amax, _tables_override, _ablate)
 
     kernel_rng = rng_mode == "kernel"
-    # VMEM budget guard: weights (bf16, or int8 in quant mode) + x/noise/tp
-    # buffers + ~3 live activations must fit on-core; refuse early with a
-    # clear error so callers can fall back to the XLA sampler.
-    batch_p_est = min(_round_up(shape[0], 128), batch_block)
-    dim_p_est = _round_up(shape[1], 128)
-    h = model.hidden_dim
-    wb = 1 if quant == "int8" else 2  # weight bytes
-    n_x_bufs = 1 + (2 if imputation else 0) + (0 if kernel_rng else 2 * K)
-    est = (wb * (shape[1] * h + 2 * model.n_blocks * h * h + h * shape[1])  # weights
-           + 4 * (batch_p_est * dim_p_est) * (1 + n_x_bufs)
-           + 4 * 3 * batch_p_est * h                                        # activations
-           + 4 * 2 * 8 * h)                                                 # tp buffers
-    _VMEM_BUDGET = 100 * 1024 * 1024
-    if est > _VMEM_BUDGET:
-        raise ValueError(
-            f"pallas fused sampler needs ~{est / 2**20:.0f} MiB VMEM for "
-            f"batch_block {batch_block} / hidden {h} (budget "
-            f"{_VMEM_BUDGET / 2**20:.0f} MiB); reduce batch_block")
     batch, dim = shape
     hidden = model.hidden_dim
     n_blocks = model.n_blocks
     # grid over batch blocks: arbitrary batch sizes run block-sequentially
     # with weights VMEM-resident, each block doing the full N-step loop
     batch_blk = min(_round_up(batch, 128), batch_block)
+    if n_corr and _round_up(batch, batch_blk) > batch_blk:
+        # the corrector's step size needs BATCH-mean norms every step (ref
+        # sampling.py:287-292), but blocks run their N-step loops
+        # sequentially — cross-block per-step means are impossible. Widen
+        # the block to cover the batch (exact norms); the VMEM guard below
+        # rejects what doesn't fit so callers fall back to the XLA sampler.
+        batch_blk = _round_up(batch, 128)
     batch_p = _round_up(batch, batch_blk)
     n_blk = batch_p // batch_blk
     dim_p = _round_up(dim, 128)
+    # VMEM budget guard: weights (bf16, or int8 in quant mode) + x/noise/tp
+    # buffers + ~3 live activations must fit on-core; refuse early with a
+    # clear error so callers can fall back to the XLA sampler.
+    h = hidden
+    wb = 1 if quant == "int8" else 2  # weight bytes
+    n_x_bufs = 1 + (2 if imputation else 0) + (0 if kernel_rng else 2 * K)
+    est = (wb * (dim * h + 2 * n_blocks * h * h + h * dim)                 # weights
+           + 4 * (batch_blk * dim_p) * (1 + n_x_bufs)
+           + 4 * 3 * batch_blk * h                                         # activations
+           + 4 * 2 * 8 * h)                                                # tp buffers
+    _VMEM_BUDGET = 100 * 1024 * 1024
+    if est > _VMEM_BUDGET:
+        why = (f"the {corrector} corrector needs one block over the whole "
+               f"batch {batch} for exact batch-mean norms"
+               if n_corr and batch_blk > batch_block else
+               f"batch_block {batch_block}")
+        raise ValueError(
+            f"pallas fused sampler needs ~{est / 2**20:.0f} MiB VMEM for "
+            f"{why} / hidden {h} (budget {_VMEM_BUDGET / 2**20:.0f} MiB); "
+            f"reduce the batch or use the XLA sampler")
 
     if _tables_override is None:
         timesteps = sde.timesteps(eps)
