@@ -1,0 +1,171 @@
+"""Quality-at-speed for the serving modes (VERDICT r3 item 4): APD + bpd
+(and completion MPJPE for the imputation path) vs NFE, fp32/bf16 vs int8,
+on a trained checkpoint.
+
+Modes measured on the protocol shapes (500-sample generation, ref
+run/demo.py:137-161; 50-pose left-leg completion, ref run/completion.py):
+
+- pc-1000 (EM + langevin corrector, the reference metrics protocol) —
+  fused Pallas kernel, bf16 matmuls; plus int8 W8A8
+- ddim-10/20/50 — fused Pallas kernel; plus int8
+- dpm-10/20 — tabled XLA DPM-Solver++(2M)
+- imputation completion pc-1000 bf16 vs int8 (hypo sampler)
+
+Per mode: APD on SMPL joints (the reference's metrics body protocol,
+synthetic body held fixed across modes so the SAMPLER is the variable),
+bpd of the generated batch under the model's own likelihood (lower =
+samples sit in higher-density regions; a mode that cuts NFE at equal APD
+and bpd is a free speedup), and steady-state wall time (2nd call).
+
+    python benchmarks/quality_vs_nfe.py \
+        --ckpt-path output/.../best_model --out artifacts/quality_vs_nfe.json
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt-path", type=str, required=True)
+    ap.add_argument("--dataset-folder", type=str, default="data/AMASS/amass_synth")
+    ap.add_argument("--version", type=str, default="version1")
+    ap.add_argument("--smpl-path", type=str, default="data/synth_smpl.npz")
+    ap.add_argument("--smplx-path", type=str, default="data/synth_smplx.npz")
+    ap.add_argument("--n-samples", type=int, default=500)
+    ap.add_argument("--comp-batch", type=int, default=50)
+    ap.add_argument("--comp-hypo", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=str, default="artifacts/quality_vs_nfe.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dposer_tpu.data.amass import N_POSES
+    from dposer_tpu.diffusion import few_step
+    from dposer_tpu.diffusion.likelihood import get_likelihood_fn
+    from dposer_tpu.ops.metrics import Evaler, average_pairwise_distance
+    from dposer_tpu.ops.pallas.fused_em import (get_pallas_em_hypo_sampler,
+                                                get_pallas_em_sampler)
+    from dposer_tpu.ops.pallas.quant import calibrate_act_amax
+    from dposer_tpu.body_model.smplx_jax import BodyModel
+    from dposer_tpu.diffusion.score_fn import get_score_fn
+    from dposer_tpu.utils.generic import import_configs
+    from dposer_tpu.utils.masks import create_mask
+    from run.common import build_normalizer, load_model_for_inference
+
+    config = import_configs("configs.subvp.amass_scorefc_continuous.get_config")
+    model, params, sde, _, score_fn = load_model_for_inference(
+        config, args.ckpt_path)  # N = config num_scales = 1000
+    normalizer = build_normalizer(config, args.dataset_folder, args.version)
+    D = N_POSES * 3
+    shape = (args.n_samples, D)
+    EPS = 5e-3  # the reference metrics protocol eps (ref demo.py:141)
+
+    body = BodyModel(args.smpl_path, model_type="smpl",
+                     batch_size=args.n_samples, num_betas=10)
+    lik_fn = get_likelihood_fn(sde, score_fn, rtol=1e-4, atol=1e-4, eps=1e-4)
+
+    amax = {}
+
+    def quant_kw(corrector):
+        if corrector not in amax:
+            amax[corrector] = calibrate_act_amax(
+                sde, model, params, (256, D), jax.random.PRNGKey(999),
+                eps=EPS, corrector=corrector, snr=config.sampling.snr,
+                n_corrector_steps=config.sampling.n_steps_each)
+        return dict(quant="int8", act_amax=amax[corrector])
+
+    def builders():
+        yield "pc-1000 bf16", 1000, lambda: get_pallas_em_sampler(
+            sde, model, params, shape, eps=EPS, denoise=True,
+            corrector="langevin", snr=config.sampling.snr,
+            n_corrector_steps=config.sampling.n_steps_each, rng_mode="kernel")
+        yield "pc-1000 int8", 1000, lambda: get_pallas_em_sampler(
+            sde, model, params, shape, eps=EPS, denoise=True,
+            corrector="langevin", snr=config.sampling.snr,
+            n_corrector_steps=config.sampling.n_steps_each,
+            rng_mode="kernel", **quant_kw("langevin"))
+        for n in (50, 20, 10):
+            yield (f"ddim-{n} bf16", n, lambda n=n: _wrap(
+                few_step.get_pallas_ddim_sampler(sde, model, params, shape,
+                                                 n_steps=n, eps=EPS,
+                                                 rng_mode="kernel")))
+            yield (f"ddim-{n} int8", n, lambda n=n: _wrap(
+                few_step.get_pallas_ddim_sampler(sde, model, params, shape,
+                                                 n_steps=n, eps=EPS,
+                                                 rng_mode="kernel",
+                                                 **quant_kw("none"))))
+        for n in (20, 10):
+            yield (f"dpm-{n} (xla)", n, lambda n=n: _wrap(
+                few_step.get_dpm_sampler(sde, model, params, shape,
+                                         n_steps=n, eps=EPS)))
+
+    def _wrap(s):  # few-step samplers return (nfe, x)
+        return lambda key: (None, s(key)[1])
+
+    rows = []
+    key = jax.random.PRNGKey(args.seed)
+    for name, nfe, build in builders():
+        sampler = build()
+        key, sub = jax.random.split(key)
+        _, x = sampler(sub)              # compile + sample
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        _, x2 = sampler(jax.random.fold_in(sub, 1))
+        jax.block_until_ready(x2)
+        dt = time.perf_counter() - t0
+        axis = normalizer.offline_denormalize(x, to_axis=True)
+        padded = jnp.concatenate([axis, jnp.zeros((args.n_samples, 6))], 1)
+        apd = float(average_pairwise_distance(
+            body(pose_body=padded).Jtr[:, :22, :]))
+        bpd, _, _ = lik_fn(jax.random.PRNGKey(7), x)
+        bpd = float(jnp.mean(bpd))
+        rate = args.n_samples / dt
+        rows.append(dict(mode=name, nfe=nfe, apd=apd, bpd=bpd,
+                         poses_per_sec=rate, wall_s=dt))
+        print(f"{name:16s} nfe {nfe:5d}  APD {apd:.4f}  bpd {bpd:.4f}  "
+              f"{rate:,.0f} poses/s", flush=True)
+
+    # ---- imputation completion path ---------------------------------------
+    test = np.load(os.path.join(args.dataset_folder, args.version, "test",
+                                "pose_body.npy"))[:args.comp_batch].astype(np.float32)
+    poses_n = normalizer.offline_normalize(jnp.asarray(test), from_axis=True)
+    mask, obs = create_mask(jax.random.PRNGKey(11), poses_n, part="left_leg")
+    body_x = BodyModel(args.smplx_path, model_type="smplx",
+                       batch_size=args.comp_batch, num_betas=10)
+    evaler = Evaler(body_model=body_x, part="left_leg")
+    for name, kw in (("completion pc-1000 bf16", {}),
+                     ("completion pc-1000 int8", quant_kw("none"))):
+        s = get_pallas_em_hypo_sampler(sde, model, params,
+                                       (args.comp_batch, D), args.comp_hypo,
+                                       eps=EPS, denoise=True,
+                                       rng_mode="kernel", **kw)
+        hypos = s(jax.random.PRNGKey(13), obs, mask)
+        jax.block_until_ready(hypos)
+        t0 = time.perf_counter()
+        hypos = s(jax.random.PRNGKey(14), obs, mask)
+        jax.block_until_ready(hypos)
+        dt = time.perf_counter() - t0
+        preds = normalizer.offline_denormalize(hypos, to_axis=True)
+        res = evaler.multi_eval_bodys(preds, jnp.asarray(test))
+        mpjpe = float(np.mean(res["mpjpe_body"]))
+        rows.append(dict(mode=name, nfe=1000, mpjpe=mpjpe, wall_s=dt))
+        print(f"{name:24s} MPJPE {mpjpe:.2f} mm  wall {dt:.2f}s", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(dict(ckpt=args.ckpt_path, n_samples=args.n_samples,
+                       rows=rows), f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

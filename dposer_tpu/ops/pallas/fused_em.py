@@ -68,7 +68,7 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
             gn_vpu: gn_scale (VMEM [1+2*n_blocks, H]), gn_bias;
             else:   Gts (VMEM [1+2*n_blocks, NG, H], scale-folded), gn_bias,
                     G (VMEM [H, NG], mean-normalized), Gt (VMEM [NG, H]),
-            quant: qs_h (VMEM [rows, H]), qs_post (VMEM [8, dim_p]),
+            quant: qs_h (VMEM [rows, H]; the output head stays bf16),
             tp_hbm (ANY [N, n_tp_pad, H]),
             noise_hbm (ANY [N, K, Bp, Dp], host-rng mode only),
             out_ref,
@@ -103,8 +103,8 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
         rest = rest[n_gn:]
         quant = None
         if quant_inv is not None:
-            quant = (rest[0], rest[1], quant_inv)  # qs_h, qs_post, act_inv
-            rest = rest[2:]
+            quant = (rest[0], quant_inv)  # qs_h, act_inv (bf16 head)
+            rest = rest[1:]
         if kernel_rng:
             (tp_hbm, out_ref, x_st, tp_buf, sem_tp) = rest
             noise_hbm = nz_buf = sem_nz = None
@@ -301,9 +301,9 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     # buffers + ~3 live activations must fit on-core; refuse early with a
     # clear error so callers can fall back to the XLA sampler.
     h = hidden
-    wb = 1 if quant == "int8" else 2  # weight bytes
+    wb = 1 if quant == "int8" else 2  # weight bytes (int8 keeps a bf16 head)
     n_x_bufs = 1 + (2 if imputation else 0) + (0 if kernel_rng else 2 * K)
-    est = (wb * (dim * h + 2 * n_blocks * h * h + h * dim)                 # weights
+    est = (wb * (dim * h + 2 * n_blocks * h * h) + 2 * h * dim             # weights
            + 4 * (batch_blk * dim_p) * (1 + n_x_bufs)
            + 4 * 3 * batch_blk * h                                         # activations
            + 4 * 2 * 8 * h)                                                # tp buffers
@@ -338,8 +338,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     Wpre, Ws, Wpost, bpost = net["Wpre"], net["Ws"], net["Wpost"], net["bpost"]
     gn_args, gn_vpu, tp_all = net["gn_args"], net["gn_vpu"], net["tp_all"]
     n_tp_pad = net["n_tp_pad"]
-    q_args = () if net["quant"] is None else (net["quant"]["qs_h"],
-                                              net["quant"]["qs_post"])
+    q_args = () if net["quant"] is None else (net["quant"]["qs_h"],)
     q_inv = None if net["quant"] is None else net["quant"]["act_inv"]
 
     kernel = _make_kernel(n_steps, n_blocks, batch, batch_blk, dim, dim_p,

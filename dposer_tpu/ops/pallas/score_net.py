@@ -74,12 +74,12 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
 
     ``quant="int8"`` (requires ``act_amax``, the per-matmul-input
     activation ranges from ``quant.calibrate_act_amax``) emits ``Wpre /
-    Ws / Wpost`` as symmetric per-output-column int8 instead of bf16, and
-    ``quant`` as a dict with the kernel-side rescale rows: ``qs_h``
-    ([rows, H] fp32; row k = act_scale_k * w_col_scales_k for the pre +
-    block matmuls), ``qs_post`` ([8, dim_p], row 0 for the post matmul)
-    and ``act_inv`` (tuple of python floats 127/amax_k, baked into the
-    kernel as immediates). Otherwise ``quant`` is None.
+    Ws`` as symmetric per-output-column int8 (``Wpost`` — the output head —
+    stays bf16; rationale at the quant branch below), and ``quant`` as a
+    dict with the kernel-side rescale rows: ``qs_h`` ([rows, H] fp32;
+    row k = act_scale_k * w_col_scales_k for the pre + block matmuls) and
+    ``act_inv`` (tuple of 1+2*n_blocks python floats 127/amax_k, baked
+    into the kernel as immediates). Otherwise ``quant`` is None.
     """
     if gn not in ("auto", "vpu", "mm"):
         raise ValueError(f"gn must be 'auto', 'vpu' or 'mm', got {gn!r}")
@@ -156,15 +156,22 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
             q, s = quantize_cols(jnp.asarray(Wf))
             Ws.append(q)
             s_blk.append(np.asarray(s))
-        Wpost, s_post = quantize_cols(jnp.asarray(Wpost_f))
+        # The OUTPUT HEAD stays bf16: it is the only matmul whose output is
+        # not renormalized (every hidden matmul feeds a GroupNorm, which
+        # washes per-step quantization error out; the head's error lands
+        # directly on the score). Measured on the round-4 400k flagship:
+        # quantizing the head alone inflates APD 0.89 -> 1.33 while
+        # quantizing all five hidden-side matmuls together costs < 2%
+        # (PERFORMANCE.md "int8 serving mode"). It is also only ~1.5% of
+        # the matmul FLOPs, so keeping it bf16 costs nothing.
+        Wpost = jnp.asarray(Wpost_f, jnp.bfloat16)
         qs_h = np.zeros((round_up(1 + 2 * n_blocks, 8), hidden), np.float32)
         qs_h[0] = (amax[0] / 127.0) * np.asarray(s_pre)
         for k in range(2 * n_blocks):
             qs_h[1 + k] = (amax[1 + k] / 127.0) * s_blk[k]
-        qs_post = np.zeros((8, dim_p), np.float32)
-        qs_post[0] = (amax[n_mm - 1] / 127.0) * np.asarray(s_post)
-        quant_dict = dict(qs_h=jnp.asarray(qs_h), qs_post=jnp.asarray(qs_post),
-                          act_inv=tuple(float(127.0 / a) for a in amax))
+        quant_dict = dict(qs_h=jnp.asarray(qs_h),
+                          act_inv=tuple(float(127.0 / a)
+                                        for a in amax[:n_mm - 1]))
     else:
         Wpre = jnp.asarray(Wpre_f, jnp.bfloat16)
         Ws = [jnp.asarray(Wf, jnp.bfloat16) for Wf in Ws_f]
@@ -204,12 +211,13 @@ def bind_fwd(n_blocks: int, hidden: int, gn_vpu: bool, ablate: frozenset,
     (Wpost + bias; any sigma output scaling is folded into the caller's
     per-step coefficient tables).
 
-    ``quant=(qs_h_ref, qs_post_ref, act_inv)`` switches the dense matmuls
+    ``quant=(qs_h_ref, act_inv)`` switches the pre + block dense matmuls
     to the MXU int8 path: inputs quantize on-core with the static scales
     ``act_inv`` (python-float immediates), weights are the per-column int8
     refs, and the int32 accumulator rescales by one fp32 row per matmul
     (activation scale x per-column weight scales, prefolded by
-    ``build_network_operands``). GN/SiLU/residual/EM math stays fp32."""
+    ``build_network_operands``). The post matmul (output head) stays bf16
+    and GN/SiLU/residual/EM math stays fp32."""
 
     def group_norm_vpu(h, scale_row, bias_row):
         """GN with zero matmuls: the build pre-permutes the hidden dim so
@@ -285,14 +293,16 @@ def bind_fwd(n_blocks: int, hidden: int, gn_vpu: bool, ablate: frozenset,
             return jnp.dot(h.astype(jnp.bfloat16), Wref[:],
                            preferred_element_type=jnp.float32)
     else:
-        qs_h, qs_post, act_inv = quant
+        qs_h, act_inv = quant
 
         def mm(h, k, Wref, post=False):
+            if post:  # bf16 head — see build_network_operands quant branch
+                return jnp.dot(h.astype(jnp.bfloat16), Wref[:],
+                               preferred_element_type=jnp.float32)
             hq = jnp.clip(jnp.round(h * act_inv[k]), -127.0, 127.0)
             acc = jnp.dot(hq.astype(jnp.int8), Wref[:],
                           preferred_element_type=jnp.int32)
-            row = qs_post[0, :] if post else qs_h[k, :]
-            return acc.astype(jnp.float32) * row[None, :]
+            return acc.astype(jnp.float32) * qs_h[k, :][None, :]
 
     def fwd(x, slot, row0=0):
         # ``row0`` selects a stage block inside the slab (multi-stage

@@ -187,6 +187,8 @@ def test_int8_weights_halve_vmem_budget(small):
                                  quant="int8", act_amax=amax)
     assert net["Wpre"].dtype == jnp.int8
     assert all(w.dtype == jnp.int8 for w in net["Ws"])
-    assert net["Wpost"].dtype == jnp.int8
+    # the output head stays bf16 (no normalizer after it — its quant error
+    # would land directly on the score; measured in PERFORMANCE.md)
+    assert net["Wpost"].dtype == jnp.bfloat16
     assert net["quant"]["qs_h"].dtype == jnp.float32
-    assert len(net["quant"]["act_inv"]) == 6
+    assert len(net["quant"]["act_inv"]) == 5

@@ -153,3 +153,99 @@ def test_load_ply_roundtrip(tmp_path, rng):
         f.write(verts.astype("<f4").tobytes())
     out = load_ply(str(tmp_path / "m.ply"))
     np.testing.assert_allclose(out, verts, atol=1e-6)
+
+
+def test_smplify_synth_gt_beats_mean_pose_init(tmp_path):
+    """HMR accuracy regression on synthesized ground truth (VERDICT r3
+    Missing #3): keypoints projected through the fitter's own forward
+    convention from known poses, fitted from the mean-pose init, must land
+    BELOW the init's PA-MPJPE/MPJPE vs the known GT joints. A miniature of
+    the benchmarks/gen_synth_ehf.py + run.fitting protocol (same camera,
+    bbox and schedule shape; analytic prior for speed — the trained-prior
+    protocol numbers live in artifacts/, see PERFORMANCE.md 'HMR
+    accuracy')."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks"))
+    from gen_synth_amass import make_mixture, sample_poses
+
+    from dposer_tpu.data import PoseNormalizer
+    from dposer_tpu.data.mocap import MocapDataset
+    from dposer_tpu.ops.metrics import pa_mpjpe
+    from dposer_tpu.ops.rotations import cam_crop2full
+
+    B = 2
+    path, vids = make_synthetic_body_model(tmp_path / "m.npz", "smplx",
+                                           template_scale=0.35)
+    smpl = SMPLXFit(path, vertex_ids=vids)
+
+    # GT: near-mean mixture draws (human-scale deviation; see the
+    # --pose-scale rationale in benchmarks/gen_synth_ehf.py)
+    centers, mixweights, basis = make_mixture(np.random.default_rng(0))
+    raw = sample_poses(np.random.default_rng(7), B, centers, mixweights, basis)
+    mean63 = np.asarray(smpl.mean_poses[3:66])
+    mix_mean = (mixweights @ centers).astype(np.float32)
+    gt_body = (mean63[None] + 0.6 * (raw - mix_mean[None])).astype(np.float32)
+    root = np.tile(MocapDataset.EHF_CAM_R_AA.astype(np.float32), (B, 1))
+
+    img = np.zeros((1200, 1600, 3), np.uint8)
+    det = np.concatenate([np.arange(B, dtype=np.float32)[:, None],
+                          np.tile([[400, 100, 1000, 1200]], (B, 1))], axis=1)
+    db = MocapDataset([img] * B, det, body_model=smpl.bm)
+    b = db.batch()
+    full = jnp.stack((jnp.asarray(b["img_h"]), jnp.asarray(b["img_w"])), -1)
+    t_gt = cam_crop2full(jnp.tile(jnp.asarray([[0.9, 0.0, 0.0]]), (B, 1)),
+                         jnp.asarray(b["center"]), jnp.asarray(b["scale"]),
+                         full, jnp.asarray(b["focal_length"]))
+    focal = float(b["focal_length"][0])
+    cc = jnp.stack([jnp.asarray(b["img_w"]), jnp.asarray(b["img_h"])], -1) / 2
+    # the fitter's forward convention: transl INTO the body model AND
+    # translation in the projection (ref run/smplify.py:209-213 +
+    # fitting_losses.py:69-71) — see gen_synth_ehf.py
+    out_t = smpl(betas=jnp.zeros((B, 10)), body_pose=jnp.asarray(gt_body),
+                 global_orient=jnp.asarray(root), transl=t_gt)
+    kp2d = perspective_projection(out_t.joints,
+                                  jnp.tile(jnp.eye(3)[None], (B, 1, 1)),
+                                  t_gt, focal, cc)
+    kpts = jnp.concatenate([kp2d, jnp.ones((B, 49, 1))], -1).at[:, 25:, 2].set(0.0)
+    gt_joints = smpl.bm(pose_body=jnp.asarray(gt_body),
+                        root_orient=jnp.asarray(root)).Jtr[:, :22] + t_gt[:, None, :]
+
+    def pa_mp_of(pose, betas, ct):
+        j = smpl.bm(pose_body=pose[:, 3:], root_orient=pose[:, :3],
+                    betas=betas, trans=ct).Jtr[:, :22]
+        pa = np.mean([pa_mpjpe(j[i], gt_joints[i]) for i in range(B)])
+        pelvis = smpl.bm.J_regressor_idx["pelvis"]
+        # pelvis-aligned MPJPE like eval_EHF
+        mp = []
+        for i in range(B):
+            al = j[i] - j[i, pelvis:pelvis + 1] + gt_joints[i, pelvis:pelvis + 1]
+            mp.append(float(np.sqrt(((np.asarray(al - gt_joints[i])) ** 2
+                                     ).sum(1)).mean() * 1000))
+        return pa, np.mean(mp)
+
+    nz = PoseNormalizer(make_stats_dir(tmp_path / "stats"), normalize=True,
+                        min_max=False, rot_rep="axis")
+    sde = sde_lib.SubVPSDE(N=500)
+
+    def score_fn(x, t):  # N(0, 0.6) analytic prior over normalized poses
+        a_t, std_t = sde.marginal_prob(jnp.ones_like(x), jnp.atleast_1d(t))
+        a = a_t[..., 0] if a_t.ndim == x.ndim else a_t
+        var = (a * 0.6) ** 2 + std_t ** 2
+        return -x / var[..., None] if a.ndim == x.ndim - 1 else -x / var
+
+    prior = DPoser(sde, score_fn, nz, batch_size=B)
+    fit = SMPLify(smpl, pose_prior=prior, step_size=3e-3, batch_size=B,
+                  num_iters=100, focal_length=focal, sde_N=500)
+
+    init_cam = t_gt  # run.fitting's init IS the bbox-implied translation
+    mean_pose = jnp.tile(jnp.asarray(smpl.mean_poses[:66])[None], (B, 1))
+    mean_betas = jnp.zeros((B, 10))
+    pa0, mp0 = pa_mp_of(mean_pose, mean_betas, init_cam)
+    pose, betas, cam_t, _ = fit(jax.random.PRNGKey(0), mean_pose, mean_betas,
+                                init_cam, cc, kpts)
+    pa1, mp1 = pa_mp_of(pose, betas, cam_t)
+    assert pa1 < pa0, (pa0, pa1)
+    assert mp1 < mp0, (mp0, mp1)
