@@ -88,6 +88,20 @@ def main():
                          "and the fit cannot descend (measured: fits land "
                          "ABOVE the baseline). 0.35 matches the real-world "
                          "deviation scale. 1.0 = raw in-distribution draws.")
+    ap.add_argument("--top-v", type=float, default=250.0,
+                    help="target pixel row of the highest keypoint. "
+                         "run.fitting mirrors the reference's seated "
+                         "heuristic (ref run/fitting.py:71): bbox min_y "
+                         "> 400 means 'subject low in the frame = seated' "
+                         "and switches the init to the BEND pose. Real EHF "
+                         "standing subjects have head keypoints well above "
+                         "row 400; the GT body is shifted up in camera "
+                         "frame so the synthetic frames read as standing "
+                         "too (measured: leaving the body centered puts "
+                         "min_y at ~560 -> every image gets the seated "
+                         "bend init -> fits land at PA 154 mm, ABOVE the "
+                         "mean-pose baseline the protocol compares "
+                         "against)")
     ap.add_argument("--seed", type=int, default=2024)
     args = ap.parse_args()
 
@@ -153,11 +167,27 @@ def main():
     # fitting loss is zero AND stage 1's depth anchor is satisfied. (The
     # eval is translation-invariant — eval_EHF pelvis-aligns and PA-MPJPE is
     # similarity-invariant — so the convention cancels out of the metrics.)
-    out_t = smpl(betas=jnp.asarray(gt_betas), body_pose=jnp.asarray(gt_body),
-                 global_orient=jnp.asarray(root_aa), transl=jnp.asarray(t_gt))
-    kp2d = np.asarray(perspective_projection(
-        out_t.joints, jnp.tile(jnp.eye(3)[None], (B, 1, 1)), jnp.asarray(t_gt),
-        focal, camera_center))  # [B, 49, 2]
+    def project(t_arr):
+        o = smpl(betas=jnp.asarray(gt_betas), body_pose=jnp.asarray(gt_body),
+                 global_orient=jnp.asarray(root_aa), transl=jnp.asarray(t_arr))
+        return o, np.asarray(perspective_projection(
+            o.joints, jnp.tile(jnp.eye(3)[None], (B, 1, 1)),
+            jnp.asarray(t_arr), focal, camera_center))  # [B, 49, 2]
+
+    # standing-frame placement: shift each GT body up until its highest
+    # 2D keypoint sits at --top-v, so run.fitting's seated heuristic
+    # (bbox min_y > 400 -> bend-pose init) reads the frames as standing,
+    # like real EHF. The depth anchor (z) is untouched. Fixed-point with
+    # the doubled-translation sensitivity dv/dt_y = 2f/z_eff.
+    for _ in range(3):
+        _, kp2d = project(t_gt)
+        min_v = kp2d[:, :25, 1].min(axis=1)
+        z_eff = 2.0 * t_gt[:, 2]
+        t_gt = t_gt.copy()
+        t_gt[:, 1] += (args.top_v - min_v) * z_eff / (2.0 * focal)
+    out_t, kp2d = project(t_gt)
+    assert kp2d[:, :25, 1].min() > 0 and kp2d[:, :25, 1].min() < 400, (
+        "standing-frame placement failed: min_v=%r" % kp2d[:, :25, 1].min(0))
 
     cam_R = np.asarray(axis_angle_to_matrix(
         jnp.asarray(MocapDataset.EHF_CAM_R_AA, jnp.float32)))

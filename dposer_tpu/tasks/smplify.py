@@ -59,11 +59,18 @@ class SMPLify:
     def __init__(self, body_model, pose_prior: Optional[DPoser] = None,
                  step_size: float = 1e-2, batch_size: int = 32,
                  num_iters: int = 100, focal_length=5000.0,
-                 time_strategy: str = "3", sde_N: int = 500, mesh=None):
+                 time_strategy: str = "3", sde_N: int = 500, mesh=None,
+                 cam_step_size: Optional[float] = None):
         self.smpl = body_model
         self.mesh = mesh  # batch-dim GSPMD over a device mesh (optional)
         self.pose_prior = pose_prior
         self.step_size = step_size
+        # Stage 1 moves the CAMERA: Adam's travel is bounded by
+        # step_size * num_iters (it normalizes gradients), so the camera
+        # translation can need ~0.4 m of travel that a pose-tuned small step
+        # (e.g. 3e-3 x 100 = 0.3) cannot deliver. Decouple it; None keeps
+        # both stages on step_size like the reference (run/smplify.py:140).
+        self.cam_step_size = step_size if cam_step_size is None else cam_step_size
         self.num_iters = num_iters
         self.focal_length = focal_length
         self.time_strategy = time_strategy
@@ -111,7 +118,7 @@ class SMPLify:
          joints_conf) = self._shard_batch(
             (go, cam_t, betas, body_pose, init_cam_t, camera_center,
              joints_2d, joints_conf))
-        opt1 = optax.adam(self.step_size, b1=0.9, b2=0.999)
+        opt1 = optax.adam(self.cam_step_size, b1=0.9, b2=0.999)
 
         def cam_loss(var):
             go_v, cam_t_v = var
