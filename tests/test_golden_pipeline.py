@@ -247,3 +247,92 @@ def test_pallas_likelihood_kernel_on_trained_model(trained):
     np.testing.assert_allclose(np.asarray(bpd), np.asarray(bpd_ref),
                                atol=5e-2)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1.5e-1)
+
+
+def test_quality_vs_nfe_pins_on_trained_model(trained):
+    """Live quality-at-speed pins (VERDICT r3 Next #4) on the toy prior.
+
+    Measured property of this under-trained fixture (2500 steps): the
+    stochastic PC sampler self-corrects score error every step and
+    reproduces the data distribution (APD 1.32 vs data 1.29, std 0.587
+    vs 0.587), while ALL deterministic PF-ODE-family samplers amplify it
+    identically (RK4-200 APD 3.17, std 1.64) — on the real 400k
+    checkpoint they agree with PC to <2% (see
+    tests/test_golden_files.py::test_quality_vs_nfe_artifact_pins, the
+    real-checkpoint half of this pin). So the live invariants are:
+
+    - PC matches DATA (APD + bpd) — the stochastic-quality pin;
+    - the few-step modes (DDIM 50/20/10, DPM++2M 20/10) match the
+      RK4 PF-ODE reference *of the same stack* — the consistency pin
+      that catches few-step drift without requiring a toy score good
+      enough for deterministic sampling;
+    - DDIM's deviation from the ODE reference grows monotonically as
+      steps fall (first-order behavior), and PC beats every
+      deterministic mode on data APD (stochastic self-correction).
+    """
+    from dposer_tpu.diffusion.fast_sampler import (get_fast_ode_sampler,
+                                                   get_fast_pc_sampler)
+    from dposer_tpu.diffusion.few_step import (get_ddim_sampler,
+                                               get_dpm_sampler)
+    from dposer_tpu.diffusion.likelihood import get_fast_likelihood_fn
+    from dposer_tpu.ops.metrics import average_pairwise_distance
+
+    sde, model, params = trained
+    B = 1500
+    shape = (B, DIM)
+
+    def apd(x):
+        return float(average_pairwise_distance(
+            jnp.reshape(x, (x.shape[0], DIM // 3, 3))))
+
+    data = sample_toy_poses(jax.random.PRNGKey(7), B)
+    apd_data = apd(data)
+    lik = get_fast_likelihood_fn(sde, model, params, n_steps=50, eps=1e-4)
+
+    def bpd(x):
+        return float(jnp.mean(lik(jax.random.PRNGKey(3), x)[0]))
+
+    bpd_data = bpd(data)
+
+    # --- the stochastic-quality pin: PC reproduces the data ---
+    _, x_pc = get_fast_pc_sampler(sde, model, params, shape,
+                                  eps=1e-3)(jax.random.PRNGKey(11))
+    apd_pc, bpd_pc = apd(x_pc), bpd(x_pc)
+    assert abs(apd_pc - apd_data) / apd_data < 0.06, (apd_pc, apd_data)
+    assert abs(bpd_pc - bpd_data) < 0.35, (bpd_pc, bpd_data)
+
+    # --- the deterministic-consistency pins: few-step vs RK4 PF-ODE ---
+    _, x_ode = get_fast_ode_sampler(sde, model, params, shape,
+                                    n_steps=200)(jax.random.PRNGKey(11))
+    apd_ode, bpd_ode = apd(x_ode), bpd(x_ode)
+    # bands = measured deviation (8.7/24/58/3.5/10.3%) + headroom
+    modes = {
+        "ddim-50": (get_ddim_sampler(sde, model, params, shape,
+                                     n_steps=50), 0.15),
+        "ddim-20": (get_ddim_sampler(sde, model, params, shape,
+                                     n_steps=20), 0.35),
+        "ddim-10": (get_ddim_sampler(sde, model, params, shape,
+                                     n_steps=10), 0.75),
+        "dpm-20": (get_dpm_sampler(sde, model, params, shape,
+                                   n_steps=20), 0.12),
+        "dpm-10": (get_dpm_sampler(sde, model, params, shape,
+                                   n_steps=10), 0.18),
+    }
+    apds = {}
+    for name, (sampler, tol) in modes.items():
+        _, x = sampler(jax.random.PRNGKey(11))
+        apds[name] = apd(x)
+        assert abs(apds[name] - apd_ode) / apd_ode < tol, \
+            (name, apds[name], apd_ode)
+        # same-stack density band: an off-manifold few-step sampler shows
+        # up as bits, not tenths (the int8 head regression measured +35,000)
+        assert abs(bpd(x) - bpd_ode) < 0.8, (name, bpd_ode)
+
+    # first-order DDIM: deviation from the ODE grows as steps fall
+    dev = {k: abs(apds[k] - apd_ode) for k in ("ddim-50", "ddim-20",
+                                               "ddim-10")}
+    assert dev["ddim-50"] < dev["ddim-20"] < dev["ddim-10"], dev
+    # stochastic self-correction: PC is closer to the data than every
+    # deterministic mode on this under-trained score
+    for name, a in {**apds, "ode-200": apd_ode}.items():
+        assert abs(apd_pc - apd_data) < abs(a - apd_data), (name, a)
