@@ -21,13 +21,29 @@ reference's own torch samplers and metric code:
   ``tasks.completion.DPoserComp``. Same observations, same masks
   (generated once, shared), metrics via this repo's vmapped ``Evaler``
   (proven equal to the reference's loop in tests/test_metrics.py).
+  ``--comp-seeds K`` repeats the whole completion protocol K times with
+  independent hypothesis seeds on BOTH sides and reports mean +- spread,
+  so the cross-framework delta can be read against the within-framework
+  seed noise of the min-over-hypotheses statistic.
+- **Motion denoising/MPJPE** (ref run/motion_denoising.py:63-300): the
+  reference's ``MotionDenoise.optimize`` (torch Adam through a torch body
+  model) denoises the SAME noisy joints as our ``tasks.motion_denoising``
+  on the config-3 protocol fragments. The torch body model is
+  ``torch_body_shim.TorchBodyModel`` — a transcription of this repo's JAX
+  LBS proven equal to it in tests (the licensed ``smplx`` package the
+  reference wraps is absent), so weights+optimizer are the only variables.
 
 Absent third-party deps that the reference imports but this comparison
-never calls (``pymeshlab``, ``torchgeometry``, ``smplx``) are stubbed at
-import time; every code path actually executed is the reference's.
+never calls (``pymeshlab``, ``torchgeometry``, ``smplx``, ``pyrender``,
+``trimesh``) are stubbed at import time; every code path actually
+executed is the reference's.
 
     python benchmarks/reference_parity.py \
         --ckpt-path output/.../best_model --n-samples 500 --comp-batch 50
+    python benchmarks/reference_parity.py --ckpt-path ... \
+        --protocols completion --comp-seeds 5          # seed-spread table
+    python benchmarks/reference_parity.py --ckpt-path ... \
+        --protocols motion --motion-fragments 2        # motion parity
 """
 import argparse
 import os
@@ -48,6 +64,23 @@ def _stub(name, **attrs):
     sys.modules[name] = mod
 
 
+def _load_ref_run_module(filename):
+    """Load a reference ``run/*.py`` entry script as a module. Each defines
+    the same absl ``config`` flag at import time, so drop any existing
+    definition first (we never parse flags; configs come from import_configs)."""
+    from absl import flags
+    import importlib.util
+
+    if "config" in flags.FLAGS:
+        delattr(flags.FLAGS, "config")
+    spec = importlib.util.spec_from_file_location(
+        "ref_run_" + filename.replace(".py", ""),
+        os.path.join(REFERENCE, "run", filename))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_reference_modules():
     """Reference modules as a namespace package, with the unused third-party
     imports stubbed (import-time only; no stubbed symbol is ever called)."""
@@ -56,6 +89,14 @@ def load_reference_modules():
     _stub("smplx", SMPL=object, SMPLH=object, SMPLX=object)
     _stub("smplx.utils", Struct=object)
     sys.modules["smplx"].utils = sys.modules["smplx.utils"]
+    _stub("pyrender")
+    _stub("trimesh")
+    _stub("pytorch3d")
+    _stub("pytorch3d.renderer", look_at_view_transform=object,
+          FoVPerspectiveCameras=object, PointLights=object,
+          RasterizationSettings=object, MeshRenderer=object,
+          MeshRasterizer=object, SoftPhongShader=object, TexturesVertex=object)
+    _stub("pytorch3d.structures", Meshes=object)
     if REFERENCE not in sys.path:
         sys.path.append(REFERENCE)
     import lib.algorithms.advanced.model as ref_model  # noqa: E501
@@ -65,13 +106,8 @@ def load_reference_modules():
     import lib.dataset.AMASS as ref_amass
     import lib.utils.metric as ref_metric
 
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "ref_run_completion", os.path.join(REFERENCE, "run/completion.py"))
-    ref_completion = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref_completion)
     return (ref_model, ref_sampling, ref_sde_lib, ref_ema, ref_amass,
-            ref_metric, ref_completion)
+            ref_metric)
 
 
 def write_torch_stats(torch, src_dir, dst_dir):
@@ -95,9 +131,20 @@ def main():
     ap.add_argument("--n-samples", type=int, default=500)
     ap.add_argument("--comp-batch", type=int, default=50)
     ap.add_argument("--comp-hypo", type=int, default=2)
+    ap.add_argument("--comp-seeds", type=int, default=1,
+                    help="repeat completion with K independent hypothesis "
+                         "seeds per side; report mean +- spread")
     ap.add_argument("--part", type=str, default="left_leg")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--protocols", type=str, default="generation,completion",
+                    help="comma subset of generation,completion,motion")
+    ap.add_argument("--motion-fragments", type=int, default=2)
+    ap.add_argument("--motion-dir", type=str, default="data/he_frags")
+    ap.add_argument("--motion-body", type=str,
+                    default="data/synth_smplx_human.npz")
+    ap.add_argument("--motion-std", type=float, default=0.04)
     args = ap.parse_args()
+    protocols = set(args.protocols.split(","))
 
     os.environ.setdefault("DPOSER_PLATFORM", "cpu")
     import jax
@@ -120,8 +167,8 @@ def main():
     from run.common import build_sde, create_score_model
     from dposer_tpu.data.amass import N_POSES
 
-    (ref_model, ref_sampling, ref_sde_lib, ref_ema, ref_amass, ref_metric,
-     ref_completion) = load_reference_modules()
+    (ref_model, ref_sampling, ref_sde_lib, ref_ema, ref_amass,
+     ref_metric) = load_reference_modules()
 
     config = import_configs("configs.subvp.amass_scorefc_continuous.get_config")
     config.sampling.corrector = "langevin"  # metrics protocol, ref demo.py:142
@@ -174,83 +221,195 @@ def main():
         rot_rep=config.data.rot_rep)
 
     D = N_POSES * POSE_DIM
-    body = BodyModel(args.smpl_path, model_type="smpl",
-                     batch_size=args.n_samples, num_betas=10)
-
-    def smpl_joints22(poses_axis_np):
-        padded = jnp.concatenate(
-            [jnp.asarray(poses_axis_np), jnp.zeros((len(poses_axis_np), 6))], 1)
-        return body(pose_body=padded).Jtr[:, :22, :]
 
     # ======== generation / APD (ref demo.py:137-161) ========================
-    shape = (args.n_samples, D)
-    r_sampler = ref_sampling.get_sampling_fn(config, r_sde, shape,
-                                             lambda x: x, 5e-3, device=device)
-    with torch.no_grad():
-        _, r_samples = r_sampler(r_model, observation=None)
-    r_axis = r_norm.offline_denormalize(r_samples, to_axis=True).cpu().numpy()
+    if "generation" in protocols:
+        body = BodyModel(args.smpl_path, model_type="smpl",
+                         batch_size=args.n_samples, num_betas=10)
 
-    o_sampler = our_sampling.get_sampling_fn(config, sde, shape, score_fn,
-                                             inverse_scaler=None, eps=5e-3)
-    _, o_samples = o_sampler(jax.random.PRNGKey(args.seed))
-    o_axis = np.asarray(normalizer.offline_denormalize(o_samples, to_axis=True))
+        def smpl_joints22(poses_axis_np):
+            padded = jnp.concatenate(
+                [jnp.asarray(poses_axis_np), jnp.zeros((len(poses_axis_np), 6))], 1)
+            return body(pose_body=padded).Jtr[:, :22, :]
 
-    # the reference's own metric implementation scores both sets
-    apd_ref = float(ref_metric.average_pairwise_distance(
-        torch.from_numpy(np.asarray(smpl_joints22(r_axis)))))
-    apd_ours = float(ref_metric.average_pairwise_distance(
-        torch.from_numpy(np.asarray(smpl_joints22(o_axis)))))
-    apd_ours_ourimpl = float(average_pairwise_distance(smpl_joints22(o_axis)))
-    print(f"\n[generation, {args.n_samples} samples, pc/em+langevin N=1000]")
-    print(f"APD  reference pipeline (torch, exported ckpt): {apd_ref:.4f}")
-    print(f"APD  this framework   (same weights):           {apd_ours:.4f}")
-    print(f"     (our APD impl on our samples:              {apd_ours_ourimpl:.4f})")
-    print(f"     relative delta: {abs(apd_ref - apd_ours) / apd_ref * 100:.2f}%")
+        shape = (args.n_samples, D)
+        r_sampler = ref_sampling.get_sampling_fn(config, r_sde, shape,
+                                                 lambda x: x, 5e-3, device=device)
+        with torch.no_grad():
+            _, r_samples = r_sampler(r_model, observation=None)
+        r_axis = r_norm.offline_denormalize(r_samples, to_axis=True).cpu().numpy()
 
-    # pose-space moments — distribution-level agreement, sampler-noise aware
-    for name, arr in (("reference", r_axis), ("ours", o_axis)):
-        print(f"     {name}: mean-norm {np.linalg.norm(arr.mean(0)):.4f} "
-              f"std-norm {np.linalg.norm(arr.std(0)):.4f}")
+        o_sampler = our_sampling.get_sampling_fn(config, sde, shape, score_fn,
+                                                 inverse_scaler=None, eps=5e-3)
+        _, o_samples = o_sampler(jax.random.PRNGKey(args.seed))
+        o_axis = np.asarray(normalizer.offline_denormalize(o_samples, to_axis=True))
+
+        # the reference's own metric implementation scores both sets
+        apd_ref = float(ref_metric.average_pairwise_distance(
+            torch.from_numpy(np.asarray(smpl_joints22(r_axis)))))
+        apd_ours = float(ref_metric.average_pairwise_distance(
+            torch.from_numpy(np.asarray(smpl_joints22(o_axis)))))
+        apd_ours_ourimpl = float(average_pairwise_distance(smpl_joints22(o_axis)))
+        print(f"\n[generation, {args.n_samples} samples, pc/em+langevin N=1000]")
+        print(f"APD  reference pipeline (torch, exported ckpt): {apd_ref:.4f}")
+        print(f"APD  this framework   (same weights):           {apd_ours:.4f}")
+        print(f"     (our APD impl on our samples:              {apd_ours_ourimpl:.4f})")
+        print(f"     relative delta: {abs(apd_ref - apd_ours) / apd_ref * 100:.2f}%")
+
+        # pose-space moments — distribution-level agreement, sampler-noise aware
+        for name, arr in (("reference", r_axis), ("ours", o_axis)):
+            print(f"     {name}: mean-norm {np.linalg.norm(arr.mean(0)):.4f} "
+                  f"std-norm {np.linalg.norm(arr.std(0)):.4f}")
 
     # ======== completion (ref completion.py:95-200,279-321) =================
-    Bc = args.comp_batch
-    test = np.load(os.path.join(args.dataset_folder, args.version, "test",
-                                "pose_body.npy"))[:Bc].astype(np.float32)
-    gts_axis = torch.from_numpy(test)
-    poses_n = r_norm.offline_normalize(gts_axis.to(device), from_axis=True)
-    mask_t, obs_t = ref_completion.create_mask(poses_n, part=args.part)
+    if "completion" in protocols:
+        ref_completion = _load_ref_run_module("completion.py")
+        Bc = args.comp_batch
+        test = np.load(os.path.join(args.dataset_folder, args.version, "test",
+                                    "pose_body.npy"))[:Bc].astype(np.float32)
+        gts_axis = torch.from_numpy(test)
+        poses_n = r_norm.offline_normalize(gts_axis.to(device), from_axis=True)
+        mask_t, obs_t = ref_completion.create_mask(poses_n, part=args.part)
 
-    r_comp = ref_completion.DPoserComp(r_model, r_sde,
-                                       config.training.continuous,
-                                       batch_size=Bc)
-    hypos_ref = []
-    for _ in range(args.comp_hypo):
-        hypos_ref.append(r_comp.optimize(obs_t, mask_t))
-    hypos_ref = torch.stack(hypos_ref, dim=1)
-    preds_ref = r_norm.offline_denormalize(hypos_ref, to_axis=True).detach().cpu().numpy()
+        r_comp = ref_completion.DPoserComp(r_model, r_sde,
+                                           config.training.continuous,
+                                           batch_size=Bc)
+        our_comp = OurComp(sde, score_fn)
+        obs_j = jnp.asarray(obs_t.cpu().numpy())
+        mask_j = jnp.asarray(mask_t.cpu().numpy())
 
-    our_comp = OurComp(sde, score_fn)
-    obs_j = jnp.asarray(obs_t.cpu().numpy())
-    mask_j = jnp.asarray(mask_t.cpu().numpy())
-    hypos_ours = our_comp.optimize_hypos(jax.random.PRNGKey(args.seed + 1),
-                                         obs_j, mask_j, args.comp_hypo)
-    preds_ours = np.asarray(normalizer.offline_denormalize(hypos_ours,
-                                                           to_axis=True))
+        body_c = BodyModel(args.smpl_path.replace("synth_smpl.npz",
+                                                  "synth_smplx.npz"),
+                           model_type="smplx", batch_size=Bc, num_betas=10)
+        evaler = Evaler(body_model=body_c, part=args.part)
 
-    body_c = BodyModel(args.smpl_path.replace("synth_smpl.npz",
-                                              "synth_smplx.npz"),
-                       model_type="smplx", batch_size=Bc, num_betas=10)
-    evaler = Evaler(body_model=body_c, part=args.part)
-    res_ref = evaler.multi_eval_bodys(jnp.asarray(preds_ref),
-                                      jnp.asarray(test))
-    res_ours = evaler.multi_eval_bodys(jnp.asarray(preds_ours),
-                                       jnp.asarray(test))
-    print(f"\n[completion, {Bc} poses, part={args.part}, hypo={args.comp_hypo}, "
-          f"same masks/observations]")
-    for k in ("mpvpe_all", "mpjpe_body"):
-        a, b = float(np.mean(res_ref[k])), float(np.mean(res_ours[k]))
-        print(f"{k}  reference pipeline: {a:.2f} mm   ours: {b:.2f} mm   "
-              f"delta {abs(a - b) / a * 100:.2f}%")
+        print(f"\n[completion, {Bc} poses, part={args.part}, "
+              f"hypo={args.comp_hypo}, seeds={args.comp_seeds}, "
+              f"same masks/observations]")
+        per_seed = {"mpvpe_all": ([], []), "mpjpe_body": ([], [])}
+        for s in range(args.comp_seeds):
+            torch.manual_seed(args.seed + 7919 * s)
+            hypos_ref = torch.stack(
+                [r_comp.optimize(obs_t, mask_t) for _ in range(args.comp_hypo)],
+                dim=1)
+            preds_ref = r_norm.offline_denormalize(
+                hypos_ref, to_axis=True).detach().cpu().numpy()
+
+            hypos_ours = our_comp.optimize_hypos(
+                jax.random.PRNGKey(args.seed + 7919 * s + 1),
+                obs_j, mask_j, args.comp_hypo)
+            preds_ours = np.asarray(normalizer.offline_denormalize(
+                hypos_ours, to_axis=True))
+
+            res_ref = evaler.multi_eval_bodys(jnp.asarray(preds_ref),
+                                              jnp.asarray(test))
+            res_ours = evaler.multi_eval_bodys(jnp.asarray(preds_ours),
+                                               jnp.asarray(test))
+            for k in ("mpvpe_all", "mpjpe_body"):
+                a, b = float(np.mean(res_ref[k])), float(np.mean(res_ours[k]))
+                per_seed[k][0].append(a)
+                per_seed[k][1].append(b)
+                print(f"seed {s}: {k}  reference pipeline: {a:.2f} mm   "
+                      f"ours: {b:.2f} mm   delta {abs(a - b) / a * 100:.2f}%")
+        if args.comp_seeds > 1:
+            print("summary (mean +- std over seeds; delta-of-means vs "
+                  "within-framework spread):")
+            for k in ("mpvpe_all", "mpjpe_body"):
+                ra = np.asarray(per_seed[k][0])
+                ob = np.asarray(per_seed[k][1])
+                print(f"{k}  reference: {ra.mean():.2f} +- {ra.std():.2f} mm   "
+                      f"ours: {ob.mean():.2f} +- {ob.std():.2f} mm   "
+                      f"delta of means {abs(ra.mean() - ob.mean()) / ra.mean() * 100:.2f}%")
+
+    # ======== motion denoising (ref motion_denoising.py:63-300) =============
+    if "motion" in protocols:
+        run_motion_parity(args, config, r_model, torch, np, jax, jnp)
+
+
+def run_motion_parity(args, config, r_model, torch, np, jax, jnp):
+    """Config-3 protocol, both frameworks, same noisy joints: the
+    reference's ``MotionDenoise`` torch Adam loop (driving the verified
+    ``TorchBodyModel`` shim) vs ``tasks.motion_denoising.MotionDenoise``."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_body_shim import TorchBodyModel
+
+    from dposer_tpu.body_model.smplx_jax import BodyModel
+    from dposer_tpu.tasks.motion_denoising import (MotionDenoise as OurMD,
+                                                   noise_schedule_kwargs)
+    from run.common import load_model_for_inference
+
+    ref_motion = _load_ref_run_module("motion_denoising.py")
+
+    # the reference Posenormalizer locates torch stats by directory layout
+    tree = "/tmp/dposer_parity_tree"
+    write_torch_stats(torch, os.path.join(args.dataset_folder, args.version,
+                                          "train"),
+                      os.path.join(tree, args.version, "train"))
+    ns = types.SimpleNamespace(device="cpu", dataset_folder=tree,
+                               version=args.version)
+
+    frag_files = sorted(
+        f for f in os.listdir(args.motion_dir) if f.endswith(".npz"))
+    frag_files = frag_files[:args.motion_fragments]
+    kwargs = noise_schedule_kwargs(args.motion_std)
+
+    # ours: the CLI-identical load path (sde_N=500, ref :317-322)
+    _, _, sde500, _, score_fn500 = load_model_for_inference(
+        config, args.ckpt_path, sde_N=500)
+    from dposer_tpu.data.amass import PoseNormalizer
+    normalizer = PoseNormalizer(
+        os.path.join(args.dataset_folder, args.version, "train"),
+        normalize=config.data.normalize, min_max=config.data.min_max,
+        rot_rep=config.data.rot_rep)
+
+    print(f"\n[motion denoising, {len(frag_files)} fragments, "
+          f"std={args.motion_std}, strategy 3, shared noisy joints]")
+    sums = {"ref_init": [], "ref_final": [], "our_init": [], "our_final": []}
+    our_body = ref_body = md_ours = None
+    for i, fname in enumerate(frag_files):
+        gt = np.load(os.path.join(args.motion_dir, fname))["pose_body"]
+        gt = gt.astype(np.float32)
+        T = len(gt)
+        if our_body is None:
+            our_body = BodyModel(args.motion_body, model_type="smplx",
+                                 batch_size=T, num_betas=10)
+            ref_body = TorchBodyModel(args.motion_body, model_type="smplx",
+                                      batch_size=T, num_betas=10)
+            md_ours = OurMD(sde500, score_fn500, our_body, normalizer,
+                            dposer_weight=1.0, batch_size=T)
+
+        # one shared noise draw so init error is identical on both sides
+        jt_gt = np.asarray(our_body(pose_body=jnp.asarray(gt)).Jtr[:, :22])
+        rng = np.random.default_rng(args.seed + i)
+        noisy = (jt_gt + args.motion_std
+                 * rng.standard_normal(jt_gt.shape)).astype(np.float32)
+
+        torch.manual_seed(args.seed + i)
+        md_ref = ref_motion.MotionDenoise(
+            config, ns, r_model, body_model=ref_body, sde_N=500,
+            dposer_weight=1.0, batch_size=T)
+        res_ref = md_ref.optimize(torch.from_numpy(noisy),
+                                  torch.from_numpy(gt),
+                                  time_strategy="3", **kwargs)
+
+        res_ours = md_ours.optimize(jax.random.PRNGKey(args.seed + i),
+                                    jnp.asarray(noisy), jnp.asarray(gt),
+                                    time_strategy="3", **kwargs)
+
+        ri, rf = (float(np.mean(res_ref[k])) for k in ("init_MPJPE", "MPJPE"))
+        oi, of = (float(np.mean(res_ours[k])) for k in ("init_MPJPE", "MPJPE"))
+        sums["ref_init"].append(ri)
+        sums["ref_final"].append(rf)
+        sums["our_init"].append(oi)
+        sums["our_final"].append(of)
+        print(f"{fname}: reference {ri:.3f} -> {rf:.3f} cm   "
+              f"ours {oi:.3f} -> {of:.3f} cm")
+
+    rf = float(np.mean(sums["ref_final"]))
+    of = float(np.mean(sums["our_final"]))
+    print(f"mean MPJPE  reference pipeline: {np.mean(sums['ref_init']):.3f} "
+          f"-> {rf:.3f} cm   ours: {np.mean(sums['our_init']):.3f} "
+          f"-> {of:.3f} cm   final delta {abs(rf - of) / rf * 100:.2f}%")
 
 
 if __name__ == "__main__":

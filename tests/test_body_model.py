@@ -119,3 +119,37 @@ def test_hand_pose_smplx(bm, rng):
     handed = bm(pose_body=jnp.zeros((1, 63)), pose_hand=hands)
     assert not np.allclose(np.asarray(rest.v), np.asarray(handed.v))
     assert handed.pose_hand.shape == (1, 90)
+
+
+def test_torch_shim_matches_jax_forward(bm, smplx_file, rng):
+    """The cross-framework parity harness drives the reference's torch
+    optimizers through benchmarks/torch_body_shim.py; this pins that shim
+    to be the SAME function as the JAX body model (vertices, all 127
+    joints) and that torch gradients flow to a leaf pose tensor."""
+    import os
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks"))
+    from torch_body_shim import TorchBodyModel
+
+    path, vids = smplx_file
+    tm = TorchBodyModel(path, model_type="smplx", batch_size=3,
+                        num_betas=10, vertex_ids=vids)
+
+    pose = rng.normal(0, 0.4, (3, 63)).astype(np.float32)
+    betas = rng.normal(0, 1.0, (3, 10)).astype(np.float32)
+    jo = bm(pose_body=jnp.asarray(pose), betas=jnp.asarray(betas))
+    p = torch.from_numpy(pose).clone().requires_grad_(True)
+    to = tm(pose_body=p, betas=torch.from_numpy(betas))
+
+    np.testing.assert_allclose(np.asarray(jo.v), to.v.detach().numpy(),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(jo.Jtr), to.Jtr.detach().numpy(),
+                               atol=5e-6)
+    # autograd: leaf identity (ref MotionDenoise re-feeds .pose_body) + grads
+    assert to.pose_body is p
+    to.v.sum().backward()
+    assert float(p.grad.norm()) > 0
