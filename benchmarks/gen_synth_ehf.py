@@ -159,14 +159,13 @@ def main():
     t_gt = np.tile(t_row.astype(np.float32), (B, 1))
     camera_center = jnp.tile(jnp.asarray([[IMG_W / 2, IMG_H / 2]]), (B, 1))
     # Project through the FITTER'S own forward convention (ref
-    # run/smplify.py:209-213 + fitting_losses.py:69-71: the body model is
-    # called with transl=camera_translation AND perspective_projection adds
-    # camera_t again — the translation is applied twice). Generating through
+    # run/smplify.py:209-213: the body model is called with
+    # transl=camera_translation; perspective_projection's translation arg is
+    # dead in the reference, ref fitting_losses.py:6-38 — see the
+    # docstring on dposer_tpu perspective_projection). Generating through
     # the same path makes the world exactly representable: at the GT
     # pose/betas with camera_translation == the bbox-implied anchor, the
-    # fitting loss is zero AND stage 1's depth anchor is satisfied. (The
-    # eval is translation-invariant — eval_EHF pelvis-aligns and PA-MPJPE is
-    # similarity-invariant — so the convention cancels out of the metrics.)
+    # fitting loss is zero AND stage 1's depth anchor is satisfied.
     def project(t_arr):
         o = smpl(betas=jnp.asarray(gt_betas), body_pose=jnp.asarray(gt_body),
                  global_orient=jnp.asarray(root_aa), transl=jnp.asarray(t_arr))
@@ -178,13 +177,12 @@ def main():
     # 2D keypoint sits at --top-v, so run.fitting's seated heuristic
     # (bbox min_y > 400 -> bend-pose init) reads the frames as standing,
     # like real EHF. The depth anchor (z) is untouched. Fixed-point with
-    # the doubled-translation sensitivity dv/dt_y = 2f/z_eff.
+    # the pinhole sensitivity dv/dt_y = f/z.
     for _ in range(3):
         _, kp2d = project(t_gt)
         min_v = kp2d[:, :25, 1].min(axis=1)
-        z_eff = 2.0 * t_gt[:, 2]
         t_gt = t_gt.copy()
-        t_gt[:, 1] += (args.top_v - min_v) * z_eff / (2.0 * focal)
+        t_gt[:, 1] += (args.top_v - min_v) * t_gt[:, 2] / focal
     out_t, kp2d = project(t_gt)
     assert kp2d[:, :25, 1].min() > 0 and kp2d[:, :25, 1].min() < 400, (
         "standing-frame placement failed: min_v=%r" % kp2d[:, :25, 1].min(0))

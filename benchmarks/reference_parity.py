@@ -134,15 +134,28 @@ def main():
     ap.add_argument("--comp-seeds", type=int, default=1,
                     help="repeat completion with K independent hypothesis "
                          "seeds per side; report mean +- spread")
+    ap.add_argument("--gen-seeds", type=int, default=1,
+                    help="repeat generation with K independent sampler "
+                         "seeds per side; report APD mean +- spread")
     ap.add_argument("--part", type=str, default="left_leg")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--protocols", type=str, default="generation,completion",
-                    help="comma subset of generation,completion,motion")
+                    help="comma subset of generation,completion,motion,fitting")
     ap.add_argument("--motion-fragments", type=int, default=2)
     ap.add_argument("--motion-dir", type=str, default="data/he_frags")
     ap.add_argument("--motion-body", type=str,
                     default="data/synth_smplx_human.npz")
     ap.add_argument("--motion-std", type=float, default=0.04)
+    ap.add_argument("--fit-dir", type=str, default="data/ehf_synth")
+    ap.add_argument("--fit-body", type=str, default="data/synth_smplx_ehf.npz")
+    ap.add_argument("--fit-iters", type=int, default=100)
+    ap.add_argument("--fit-step", type=float, default=1e-2,
+                    help="Adam step for BOTH SMPLify stages on BOTH sides "
+                         "(the reference class has a single step_size)")
+    ap.add_argument("--fit-no-prior", action="store_true",
+                    help="drop the DPoser prior on both sides: the whole "
+                         "fit is then deterministic, isolating optimizer/"
+                         "body-model/loss parity from prior-noise variance")
     args = ap.parse_args()
     protocols = set(args.protocols.split(","))
 
@@ -178,9 +191,17 @@ def main():
     # ---- export: JAX train state -> release .pth schema -------------------
     pth = "/tmp/dposer_parity_export.pth"
     state = restore_train_state(args.ckpt_path)
-    save_torch_checkpoint(pth, state["params"], ema_params=state.get("ema_params"),
+    # the EMA shadow params live under ema.shadow_params (utils/checkpoint
+    # save_train_state layout); exporting them is what makes "same weights"
+    # literal — our load_params_for_inference serves EMA params, and the
+    # reference's demo/completion load protocol does ema.copy_to
+    ema_state = state.get("ema")
+    ema_params = ema_state.get("shadow_params") if isinstance(ema_state, dict) \
+        else None
+    save_torch_checkpoint(pth, state["params"], ema_params=ema_params,
                           step=int(state.get("step", 0)))
-    print(f"exported {args.ckpt_path} -> {pth}")
+    print(f"exported {args.ckpt_path} -> {pth} "
+          f"(ema shadow: {'yes' if ema_params is not None else 'RAW FALLBACK'})")
 
     # ---- the reference's own load protocol (ref demo.py:102-118) ----------
     POSE_DIM = 3
@@ -235,31 +256,50 @@ def main():
         shape = (args.n_samples, D)
         r_sampler = ref_sampling.get_sampling_fn(config, r_sde, shape,
                                                  lambda x: x, 5e-3, device=device)
-        with torch.no_grad():
-            _, r_samples = r_sampler(r_model, observation=None)
-        r_axis = r_norm.offline_denormalize(r_samples, to_axis=True).cpu().numpy()
-
         o_sampler = our_sampling.get_sampling_fn(config, sde, shape, score_fn,
                                                  inverse_scaler=None, eps=5e-3)
-        _, o_samples = o_sampler(jax.random.PRNGKey(args.seed))
-        o_axis = np.asarray(normalizer.offline_denormalize(o_samples, to_axis=True))
 
-        # the reference's own metric implementation scores both sets
-        apd_ref = float(ref_metric.average_pairwise_distance(
-            torch.from_numpy(np.asarray(smpl_joints22(r_axis)))))
-        apd_ours = float(ref_metric.average_pairwise_distance(
-            torch.from_numpy(np.asarray(smpl_joints22(o_axis)))))
-        apd_ours_ourimpl = float(average_pairwise_distance(smpl_joints22(o_axis)))
-        print(f"\n[generation, {args.n_samples} samples, pc/em+langevin N=1000]")
-        print(f"APD  reference pipeline (torch, exported ckpt): {apd_ref:.4f}")
-        print(f"APD  this framework   (same weights):           {apd_ours:.4f}")
-        print(f"     (our APD impl on our samples:              {apd_ours_ourimpl:.4f})")
-        print(f"     relative delta: {abs(apd_ref - apd_ours) / apd_ref * 100:.2f}%")
+        print(f"\n[generation, {args.n_samples} samples, pc/em+langevin "
+              f"N=1000, seeds={args.gen_seeds}]")
+        apds_ref, apds_ours = [], []
+        for s in range(args.gen_seeds):
+            torch.manual_seed(args.seed + 7919 * s)
+            with torch.no_grad():
+                _, r_samples = r_sampler(r_model, observation=None)
+            r_axis = r_norm.offline_denormalize(
+                r_samples, to_axis=True).cpu().numpy()
 
-        # pose-space moments — distribution-level agreement, sampler-noise aware
-        for name, arr in (("reference", r_axis), ("ours", o_axis)):
-            print(f"     {name}: mean-norm {np.linalg.norm(arr.mean(0)):.4f} "
-                  f"std-norm {np.linalg.norm(arr.std(0)):.4f}")
+            _, o_samples = o_sampler(jax.random.PRNGKey(args.seed + 7919 * s))
+            o_axis = np.asarray(normalizer.offline_denormalize(
+                o_samples, to_axis=True))
+
+            # the reference's own metric implementation scores both sets
+            apd_ref = float(ref_metric.average_pairwise_distance(
+                torch.from_numpy(np.asarray(smpl_joints22(r_axis)))))
+            apd_ours = float(ref_metric.average_pairwise_distance(
+                torch.from_numpy(np.asarray(smpl_joints22(o_axis)))))
+            apds_ref.append(apd_ref)
+            apds_ours.append(apd_ours)
+            apd_ours_ourimpl = float(
+                average_pairwise_distance(smpl_joints22(o_axis)))
+            print(f"seed {s}: APD  reference pipeline (torch, exported ckpt): "
+                  f"{apd_ref:.4f}")
+            print(f"seed {s}: APD  this framework   (same weights):           "
+                  f"{apd_ours:.4f}")
+            print(f"     (our APD impl on our samples:              "
+                  f"{apd_ours_ourimpl:.4f})")
+            print(f"     relative delta: "
+                  f"{abs(apd_ref - apd_ours) / apd_ref * 100:.2f}%")
+
+            # pose-space moments — distribution-level, sampler-noise aware
+            for name, arr in (("reference", r_axis), ("ours", o_axis)):
+                print(f"     {name}: mean-norm {np.linalg.norm(arr.mean(0)):.4f} "
+                      f"std-norm {np.linalg.norm(arr.std(0)):.4f}")
+        if args.gen_seeds > 1:
+            ra, ob = np.asarray(apds_ref), np.asarray(apds_ours)
+            print(f"summary APD  reference: {ra.mean():.4f} +- {ra.std():.4f}"
+                  f"   ours: {ob.mean():.4f} +- {ob.std():.4f}   delta of "
+                  f"means {abs(ra.mean() - ob.mean()) / ra.mean() * 100:.2f}%")
 
     # ======== completion (ref completion.py:95-200,279-321) =================
     if "completion" in protocols:
@@ -324,6 +364,169 @@ def main():
     # ======== motion denoising (ref motion_denoising.py:63-300) =============
     if "motion" in protocols:
         run_motion_parity(args, config, r_model, torch, np, jax, jnp)
+
+    # ======== fitting / SMPLify (ref run/smplify.py:118-281) ================
+    if "fitting" in protocols:
+        run_fitting_parity(args, state, torch, np, jax, jnp)
+
+
+def run_fitting_parity(args, state, torch, np, jax, jnp):
+    """Config-4 family, cross-framework: the reference's own two-stage
+    ``SMPLify`` (torch Adam, DPoser prior, ref run/smplify.py:118-281)
+    drives the ``TorchSMPLXFit`` shim on the synthetic-GT EHF images, next
+    to ``tasks.smplify.SMPLify`` — identical inits, keypoints, cameras and
+    eval path (``MocapDataset.eval_EHF``); weights held equal by exporting
+    the EMA params into ``model_state_dict`` (the reference's SMPLify loads
+    raw weights without ``ema.copy_to``, ref run/smplify.py:60-67, while
+    this framework serves EMA params — the export slots EMA into the slot
+    the reference reads)."""
+    import json
+    from glob import glob
+
+    import cv2
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_body_shim import TorchSMPLXFit
+
+    from dposer_tpu.body_model import constants
+    from dposer_tpu.body_model.smplx_fit import SMPLXFit
+    from dposer_tpu.data.mocap import MocapDataset
+    from dposer_tpu.data.preprocess import compute_bbox
+    from dposer_tpu.ops.rotations import cam_crop2full
+    from dposer_tpu.tasks.smplify import SMPLify as OurSMPLify
+    from dposer_tpu.utils.checkpoint import save_torch_checkpoint
+    from run.smplify import build_dposer_prior
+
+    ref_smplify_mod = _load_ref_run_module("smplify.py")
+
+    # EMA-as-raw export: the weight set BOTH sides run
+    ema_state = state.get("ema")
+    ema_params = ema_state.get("shadow_params") if isinstance(ema_state, dict) \
+        else None
+    weights = ema_params if ema_params is not None else state["params"]
+    pth_fit = "/tmp/dposer_parity_export_fit.pth"
+    save_torch_checkpoint(pth_fit, weights, ema_params=weights,
+                          step=int(state.get("step", 0)))
+
+    tree = "/tmp/dposer_parity_tree"
+    write_torch_stats(torch, os.path.join(args.dataset_folder, args.version,
+                                          "train"),
+                      os.path.join(tree, args.version, "train"))
+    config_path = "configs.subvp.amass_scorefc_continuous.get_config"
+    ns_ref = types.SimpleNamespace(device="cpu", dataset_folder=tree,
+                                   version=args.version, ckpt_path=pth_fit,
+                                   sde_N=500, time_strategy="3",
+                                   config_path=config_path)
+    ns_ours = types.SimpleNamespace(dataset_folder=args.dataset_folder,
+                                    version=args.version, ckpt_path=pth_fit,
+                                    sde_N=500, time_strategy="3",
+                                    config_path=config_path)
+
+    # ---- batch construction: identical to run/fitting.py:115-157 ----------
+    N22 = 22
+    smpl = SMPLXFit(args.fit_body, batch_size=1)
+    img_paths = sorted(glob(f"{args.fit_dir}/*_img.jpg"))
+    json_paths = sorted(glob(f"{args.fit_dir}/*_2Djnt.json"))
+    ply_paths = sorted(glob(f"{args.fit_dir}/*_align.ply"))
+    B = len(img_paths)
+    bend_pose = np.load(constants.BEND_POSE_PATH)["pose"]
+
+    imgs, kpts49, bends = [], [], []
+    for img_path, json_path in zip(img_paths, json_paths):
+        imgs.append(cv2.imread(img_path))
+        jd = json.load(open(json_path))
+        kp = np.array(jd["people"][0]["pose_keypoints_2d"]).reshape(25, 3)
+        row = np.zeros((49, 3), np.float32)
+        row[:25] = kp
+        kpts49.append(row)
+        bb = compute_bbox(jd)
+        bends.append(bb[0, 2] > 400)
+
+    det = np.concatenate([np.arange(B, dtype=np.float32)[:, None],
+                          np.tile([[400, 100, 1000, 1200]], (B, 1))], axis=1)
+    mocap_db = MocapDataset(imgs, det, body_model=smpl.bm)
+    batch = mocap_db.batch()
+    center = jnp.asarray(batch["center"])
+    scale = jnp.asarray(batch["scale"])
+    img_h, img_w = jnp.asarray(batch["img_h"]), jnp.asarray(batch["img_w"])
+    focal_length = jnp.asarray(batch["focal_length"])
+
+    keypoints49 = np.stack(kpts49)
+    full_img_shape = jnp.stack((img_h, img_w), axis=-1)
+    init_cam_t = np.asarray(cam_crop2full(
+        jnp.tile(jnp.asarray([[0.9, 0.0, 0.0]]), (B, 1)),
+        center, scale, full_img_shape, focal_length))
+    init_pose = np.tile(np.asarray(smpl.mean_poses[: N22 * 3])[None], (B, 1))
+    for i, bend in enumerate(bends):
+        if bend:
+            init_pose[i] = bend_pose[0, : N22 * 3]
+    init_betas = np.tile(np.asarray(smpl.mean_shape)[None], (B, 1))
+    camera_center = np.stack([np.asarray(img_w), np.asarray(img_h)],
+                             axis=-1) / 2
+    focal = float(focal_length[0])
+
+    print(f"\n[fitting/SMPLify, {B} synthetic-GT EHF images, step "
+          f"{args.fit_step}, {args.fit_iters} iters x 5 stages, EMA weights "
+          f"on both sides]")
+
+    # ---- reference pipeline ------------------------------------------------
+    torch.manual_seed(args.seed)
+    ref_body = TorchSMPLXFit(args.fit_body, batch_size=B)
+    ref_fit = ref_smplify_mod.SMPLify(body_model=ref_body,
+                                      step_size=args.fit_step, batch_size=B,
+                                      num_iters=args.fit_iters,
+                                      focal_length=focal, args=ns_ref)
+    if args.fit_no_prior:
+        ref_fit.pose_prior = None
+    r_pose, r_betas, r_cam_t, r_reproj = ref_fit(
+        torch.from_numpy(init_pose.copy()),
+        torch.from_numpy(init_betas.copy()),
+        torch.from_numpy(init_cam_t.copy()),
+        torch.from_numpy(camera_center.astype(np.float32)),
+        torch.from_numpy(keypoints49.copy()))
+    res_ref = (r_pose.numpy(), r_betas.numpy(), r_cam_t.numpy(), None)
+
+    # ---- ours ---------------------------------------------------------------
+    prior = None if args.fit_no_prior \
+        else build_dposer_prior(ns_ours, batch_size=B)
+    our_fit = OurSMPLify(smpl, pose_prior=prior, step_size=args.fit_step,
+                         cam_step_size=args.fit_step, batch_size=B,
+                         num_iters=args.fit_iters, focal_length=focal,
+                         time_strategy="3", sde_N=500)
+    o_pose, o_betas, o_cam_t, o_reproj = our_fit(
+        jax.random.PRNGKey(args.seed), jnp.asarray(init_pose),
+        jnp.asarray(init_betas), jnp.asarray(init_cam_t),
+        jnp.asarray(camera_center), jnp.asarray(keypoints49))
+    res_ours = (np.asarray(o_pose), np.asarray(o_betas),
+                np.asarray(o_cam_t), None)
+
+    # stage 1 is deterministic and the camera freezes after it, so the
+    # returned translations compare the two stage-1 solvers directly
+    cam_delta = float(np.abs(res_ref[2] - res_ours[2]).max())
+    print(f"stage-1 camera translation: max |ref - ours| = {cam_delta:.5f} m")
+    print(f"final reprojection loss  reference: "
+          f"{float(np.mean(r_reproj.detach().numpy())):.2f}   "
+          f"ours: {float(np.mean(np.asarray(o_reproj))):.2f}")
+
+    # ---- shared eval (the config-4 accuracy path, data/mocap.py) ----------
+    def eval_side(res):
+        acc = {"pa_mpjpe_body": [], "mpjpe_body": []}
+        for i in range(B):
+            one = tuple(None if r is None else r[i:i + 1] for r in res)
+            ev = mocap_db.eval_EHF(one, ply_paths[i])
+            acc["pa_mpjpe_body"].extend(ev["pa_mpjpe_body"])
+            acc["mpjpe_body"].extend(ev["mpjpe_body"])
+        return {k: float(np.mean(v)) for k, v in acc.items()}
+
+    e_init = eval_side((init_pose, init_betas, init_cam_t, None))
+    e_ref = eval_side(res_ref)
+    e_ours = eval_side(res_ours)
+    print(f"unfitted init baseline: PA-MPJPE {e_init['pa_mpjpe_body']:.2f} mm"
+          f"   MPJPE {e_init['mpjpe_body']:.2f} mm")
+    for k in ("pa_mpjpe_body", "mpjpe_body"):
+        a, b = e_ref[k], e_ours[k]
+        print(f"{k}  reference pipeline: {a:.2f} mm   ours: {b:.2f} mm   "
+              f"delta {abs(a - b) / a * 100:.2f}%")
 
 
 def run_motion_parity(args, config, r_model, torch, np, jax, jnp):
@@ -405,11 +608,12 @@ def run_motion_parity(args, config, r_model, torch, np, jax, jnp):
         print(f"{fname}: reference {ri:.3f} -> {rf:.3f} cm   "
               f"ours {oi:.3f} -> {of:.3f} cm")
 
-    rf = float(np.mean(sums["ref_final"]))
-    of = float(np.mean(sums["our_final"]))
+    ref_mean = float(np.mean(sums["ref_final"]))
+    our_mean = float(np.mean(sums["our_final"]))
     print(f"mean MPJPE  reference pipeline: {np.mean(sums['ref_init']):.3f} "
-          f"-> {rf:.3f} cm   ours: {np.mean(sums['our_init']):.3f} "
-          f"-> {of:.3f} cm   final delta {abs(rf - of) / rf * 100:.2f}%")
+          f"-> {ref_mean:.3f} cm   ours: {np.mean(sums['our_init']):.3f} "
+          f"-> {our_mean:.3f} cm   "
+          f"final delta {abs(ref_mean - our_mean) / ref_mean * 100:.2f}%")
 
 
 if __name__ == "__main__":

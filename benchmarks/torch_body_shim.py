@@ -208,3 +208,38 @@ class TorchBodyModel(torch.nn.Module):
             out["pose_jaw"] = full_pose[:, 66:69]
             out["pose_eye"] = pose_eye
         return out if return_dict else _Struct(**out)
+
+
+class TorchSMPLXFit(torch.nn.Module):
+    """Torch mirror of ``dposer_tpu.body_model.smplx_fit.SMPLXFit`` — the
+    CLIFF-style 49-joint fitting wrapper the reference's SMPLify drives
+    (ref ``lib/body_model/smpl.py:49-77``): SMPL-X forward + OpenPose
+    joint remap, ``forward(betas, body_pose, global_orient, transl)``
+    returning ``.joints`` [B, 49, 3] and ``.vertices``."""
+
+    def __init__(self, model_path, batch_size=1, num_betas=10,
+                 vertex_ids=None):
+        super().__init__()
+        from dposer_tpu.body_model import constants
+
+        self.bm = TorchBodyModel(model_path, num_betas=num_betas,
+                                 batch_size=batch_size, model_type="smplx",
+                                 vertex_ids=vertex_ids)
+        joints = [constants.JOINT_MAP[name] for name in constants.JOINT_NAMES]
+        joints[:25] = constants.SMPLX_OPENPOSE_MAP
+        self.register_buffer(
+            "joint_map",
+            torch.as_tensor(joints, dtype=torch.long).clamp(
+                max=self.bm.J_regressor.shape[0]
+                + self.bm.extra_joint_ids.numel()
+                + self.bm.lmk_faces_idx.numel() - 1))
+        self.faces = self.bm.faces
+
+    def forward(self, betas=None, body_pose=None, global_orient=None,
+                transl=None, pose2rot=True, **kwargs):
+        assert pose2rot, "rotation-matrix pose input not used by the fitting stack"
+        out = self.bm(root_orient=global_orient, pose_body=body_pose,
+                      betas=betas, trans=transl)
+        return _Struct(vertices=out.v, joints=out.Jtr[:, self.joint_map],
+                       betas=out.betas, global_orient=global_orient,
+                       body_pose=body_pose, full_pose=out.full_pose)

@@ -17,14 +17,24 @@ def perspective_projection(points: jnp.ndarray, rotation: jnp.ndarray,
 
     points [B, N, 3], rotation [B, 3, 3], translation [B, 3],
     focal_length [B] or scalar, camera_center [B, 2] -> [B, N, 2].
+
+    Reference-faithful quirk: ``translation`` is accepted but NOT applied —
+    the reference's function body never adds it (unlike SPIN's original),
+    because every caller in the fitting stack already passes the camera
+    translation into the body model (``transl=camera_translation``, ref
+    run/smplify.py:209-213, run/demo_fit.py:98-113), so points arrive in
+    the camera frame. Rounds 1-3 of this port added the translation here
+    as well, applying it twice; the cross-framework SMPLify parity run
+    exposed the divergence (stage-1 camera landed 0.64 m apart).
     """
+    del translation  # pre-applied by the body model's transl (see docstring)
     batch = points.shape[0]
     K = jnp.zeros((batch, 3, 3))
     fl = jnp.broadcast_to(jnp.asarray(focal_length, jnp.float32), (batch,))
     K = K.at[:, 0, 0].set(fl).at[:, 1, 1].set(fl).at[:, 2, 2].set(1.0)
     K = K.at[:, :2, 2].set(camera_center)
 
-    points = jnp.einsum("bij,bkj->bki", rotation, points) + translation[:, None, :]
+    points = jnp.einsum("bij,bkj->bki", rotation, points)
     projected = points / points[:, :, -1:]
     projected = jnp.einsum("bij,bkj->bki", K, projected)
     return projected[:, :, :-1]

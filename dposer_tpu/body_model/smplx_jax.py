@@ -100,9 +100,20 @@ def load_body_model_npz(path: str, model_type: str = "smplx", num_betas: int = 1
     vid_table = vertex_ids or VERTEX_IDS.get(model_type, {})
     extra = np.asarray([vid_table[n] for n in EXTRA_JOINT_NAMES], np.int32) \
         if vid_table else np.zeros((0,), np.int32)
+    # Static clamp for under-sized (synthetic) templates whose vertex/face
+    # count is below the real SMPL-X ids: a JAX gather CLAMPS out-of-range
+    # indices in the forward but DROPS their cotangents in the backward
+    # (scatter semantics), silently zeroing d(extra keypoints)/d(vertices) —
+    # which killed the fitting gradient through OpenPose joints 55..65 on
+    # the synthetic fixtures (caught by the cross-framework SMPLify parity
+    # run, round 4). Clamping the index table itself keeps the forward
+    # bit-identical and restores the backward. No-op on real assets.
+    extra = np.minimum(extra, num_verts - 1)
 
     lmk_faces = np.asarray(data["lmk_faces_idx"], np.int32) if "lmk_faces_idx" in data \
         else np.zeros((0,), np.int32)
+    if faces.shape[0]:
+        lmk_faces = np.minimum(lmk_faces, faces.shape[0] - 1)
     lmk_bary = np.asarray(data["lmk_bary_coords"], np.float32) if "lmk_bary_coords" in data \
         else np.zeros((0, 3), np.float32)
 

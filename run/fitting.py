@@ -31,24 +31,23 @@ parser.add_argument("--outdir", type=str, default="lifting_results/output")
 parser.add_argument("--device", type=str, default=None, help="unused")
 parser.add_argument("--seed", type=int, default=42)
 parser.add_argument("--step-size", type=float, default=1e-2,
-                    help="Adam step size for both SMPLify stages (reference "
-                         "default 1e-2, ref run/smplify.py). The optimizer's "
-                         "noise floor near convergence scales with the step "
-                         "(Adam normalizes gradients, so tiny residual "
-                         "gradients still move ~step_size per iteration); "
-                         "the synthetic-GT protocol measures a ~60 mm "
-                         "PA-MPJPE floor at 1e-2 on the 1.3 m fixture and "
-                         "runs at 3e-3 (see PERFORMANCE.md 'HMR accuracy')")
+                    help="Adam step size for SMPLify stage 2 (reference "
+                         "default 1e-2, ref run/smplify.py:140). The "
+                         "synthetic-GT HD protocol runs at the reference "
+                         "default and improves over the mean-pose init "
+                         "(see PERFORMANCE.md 'HMR accuracy'); earlier "
+                         "rounds tuned this down to 3e-3 to work around "
+                         "what turned out to be two fitting-stack bugs "
+                         "(doubled camera translation, dead extra-keypoint "
+                         "gradients), both fixed in round 4")
 parser.add_argument("--cam-step-size", type=float, default=1e-2,
                     help="Adam step size for SMPLify stage 1 (camera "
-                         "translation + orient). Kept at the reference's "
-                         "1e-2 independently of --step-size: Adam's travel "
-                         "is bounded by step*iters, and the camera stage "
-                         "must recover ~0.3-0.5 m of translation error in "
-                         "num-iters steps; a pose-tuned 3e-3 step "
-                         "saturates that budget and stage 2 then absorbs "
-                         "the camera error into body pose (measured: "
-                         "PA-MPJPE 77 -> see PERFORMANCE.md)")
+                         "translation + orient; reference uses one "
+                         "step_size for both stages). Adam's travel is "
+                         "bounded by step*iters and the camera stage must "
+                         "recover ~0.3-0.5 m of translation in num-iters "
+                         "steps, so this stays at 1e-2 even when stage 2 "
+                         "is tuned")
 parser.add_argument("--num-iters", type=int, default=100,
                     help="iterations per SMPLify stage (5 stages; reference "
                          "default 100)")

@@ -153,3 +153,40 @@ def test_torch_shim_matches_jax_forward(bm, smplx_file, rng):
     assert to.pose_body is p
     to.v.sum().backward()
     assert float(p.grad.norm()) > 0
+
+
+def test_extra_keypoint_gradient_flows_on_clamped_ids(smplx_file, rng):
+    """Round-4 regression: with the real SMPL-X vertex-id table on an
+    under-sized synthetic template, a JAX gather clamps out-of-range ids in
+    the forward but DROPS their cotangents in the backward — silently
+    zeroing d(extra keypoints 55..76)/d(pose) and breaking every fitting
+    task that drives OpenPose joints 55..65 (caught by the cross-framework
+    SMPLify parity run). The loader clamps the id tables statically; pin
+    that the gradient through the extra keypoints is live and matches the
+    FD-validated torch shim."""
+    import os
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks"))
+    from torch_body_shim import TorchBodyModel
+
+    path, _ = smplx_file
+    # default (real) vertex-id table -> ids far beyond the 120-vertex fixture
+    bm_real_ids = BodyModel(path, model_type="smplx", batch_size=2)
+    tm = TorchBodyModel(path, model_type="smplx", batch_size=2)
+
+    pose = rng.normal(0, 0.3, (2, 63)).astype(np.float32)
+    W = rng.normal(0, 1.0, (2, 21, 3)).astype(np.float32)
+
+    def extras_sum(p):
+        return (bm_real_ids(pose_body=p).Jtr[:, 55:76] * jnp.asarray(W)).sum()
+
+    g_jax = np.asarray(jax.grad(extras_sum)(jnp.asarray(pose)))
+    assert float(np.abs(g_jax).max()) > 0, "extra-keypoint gradient is dead"
+
+    p_t = torch.from_numpy(pose).clone().requires_grad_(True)
+    (tm(pose_body=p_t).Jtr[:, 55:76] * torch.from_numpy(W)).sum().backward()
+    np.testing.assert_allclose(g_jax, p_t.grad.numpy(), atol=2e-4, rtol=2e-4)

@@ -30,6 +30,13 @@ def test_perspective_projection_known_point():
     out2 = perspective_projection(pts2, rot, trans, 500.0, cc)
     np.testing.assert_allclose(np.asarray(out2[0, 0]), [100 + 500 / 5, 50 - 2 * 500 / 5],
                                atol=1e-4)
+    # reference-faithful quirk: the translation argument is DEAD — the
+    # reference's function body never applies it (ref fitting_losses.py:6-38;
+    # callers pre-apply it via the body model's transl). Rounds 1-3 added it
+    # here too, doubling the translation; pin the reference behavior.
+    out3 = perspective_projection(pts2, rot, jnp.asarray([[5.0, -3.0, 2.0]]),
+                                  500.0, cc)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out2), atol=1e-6)
 
 
 def test_gmof_bounded():
@@ -201,9 +208,9 @@ def test_smplify_synth_gt_beats_mean_pose_init(tmp_path):
                          full, jnp.asarray(b["focal_length"]))
     focal = float(b["focal_length"][0])
     cc = jnp.stack([jnp.asarray(b["img_w"]), jnp.asarray(b["img_h"])], -1) / 2
-    # the fitter's forward convention: transl INTO the body model AND
-    # translation in the projection (ref run/smplify.py:209-213 +
-    # fitting_losses.py:69-71) — see gen_synth_ehf.py
+    # the fitter's forward convention: transl INTO the body model; the
+    # projection's translation arg is dead (ref fitting_losses.py:6-38
+    # never applies it) — see perspective_projection's docstring
     out_t = smpl(betas=jnp.zeros((B, 10)), body_pose=jnp.asarray(gt_body),
                  global_orient=jnp.asarray(root), transl=t_gt)
     kp2d = perspective_projection(out_t.joints,
