@@ -10,6 +10,8 @@ run/demo.py:137-161; 50-pose left-leg completion, ref run/completion.py):
 - ddim-10/20/50 — fused Pallas kernel; plus int8
 - dpm-10/20 — tabled XLA DPM-Solver++(2M)
 - imputation completion pc-1000 bf16 vs int8 (hypo sampler)
+- mixed precision (``bf16_tail_steps``): int8 head + bf16 tail — the
+  serving mode that recovers the completion path int8 alone degrades
 
 Per mode: APD on SMPL joints (the reference's metrics body protocol,
 synthetic body held fixed across modes so the SAMPLER is the variable),
@@ -43,7 +45,16 @@ def main():
     ap.add_argument("--comp-hypo", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default="artifacts/quality_vs_nfe.json")
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter over mode names (comma-separated "
+                         "alternatives); unmatched modes are skipped — for "
+                         "incremental reruns that splice into an existing "
+                         "table without re-paying every tunnel compile")
     args = ap.parse_args()
+
+    def selected(name):
+        return args.only is None or any(s in name
+                                        for s in args.only.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -93,6 +104,13 @@ def main():
             corrector="langevin", snr=config.sampling.snr,
             n_corrector_steps=config.sampling.n_steps_each,
             rng_mode="kernel", **quant_kw("langevin"))
+        yield "pc-1000 int8+bf16-tail-100", 1000, \
+            lambda: get_pallas_em_sampler(
+                sde, model, params, shape, eps=EPS, denoise=True,
+                corrector="langevin", snr=config.sampling.snr,
+                n_corrector_steps=config.sampling.n_steps_each,
+                rng_mode="kernel", bf16_tail_steps=100,
+                **quant_kw("langevin"))
         for n in (50, 20, 10):
             yield (f"ddim-{n} bf16", n, lambda n=n: _wrap(
                 few_step.get_pallas_ddim_sampler(sde, model, params, shape,
@@ -103,6 +121,12 @@ def main():
                                                  n_steps=n, eps=EPS,
                                                  rng_mode="kernel",
                                                  **quant_kw("none"))))
+            yield (f"ddim-{n} int8+bf16-tail-{max(1, n // 10)}", n,
+                   lambda n=n: _wrap(few_step.get_pallas_ddim_sampler(
+                       sde, model, params, shape, n_steps=n, eps=EPS,
+                       rng_mode="kernel",
+                       bf16_tail_steps=max(1, n // 10),
+                       **quant_kw("none"))))
         for n in (20, 10):
             yield (f"dpm-{n} (xla)", n, lambda n=n: _wrap(
                 few_step.get_dpm_sampler(sde, model, params, shape,
@@ -114,6 +138,8 @@ def main():
     rows = []
     key = jax.random.PRNGKey(args.seed)
     for name, nfe, build in builders():
+        if not selected(name):
+            continue
         sampler = build()
         key, sub = jax.random.split(key)
         _, x = sampler(sub)              # compile + sample
@@ -143,7 +169,15 @@ def main():
                        batch_size=args.comp_batch, num_betas=10)
     evaler = Evaler(body_model=body_x, part="left_leg")
     for name, kw in (("completion pc-1000 bf16", {}),
-                     ("completion pc-1000 int8", quant_kw("none"))):
+                     ("completion pc-1000 int8", quant_kw("none")),
+                     ("completion pc-1000 int8+bf16-tail-50",
+                      dict(bf16_tail_steps=50, **quant_kw("none"))),
+                     ("completion pc-1000 int8+bf16-tail-100",
+                      dict(bf16_tail_steps=100, **quant_kw("none"))),
+                     ("completion pc-1000 int8+bf16-tail-200",
+                      dict(bf16_tail_steps=200, **quant_kw("none")))):
+        if not selected(name):
+            continue
         s = get_pallas_em_hypo_sampler(sde, model, params,
                                        (args.comp_batch, D), args.comp_hypo,
                                        eps=EPS, denoise=True,

@@ -129,6 +129,15 @@ def get_pallas_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
     3-scalar table contract. Accepts the kernel's extra options
     (``interpret``, ``batch_block``, ``mesh``, ``quant``/``act_amax``...).
 
+    ``bf16_tail_steps=K`` (with ``quant="int8"``) splits the table rows
+    into an int8 head and a bf16 tail (two dispatches) — the few-step
+    analogue of the fused EM sampler's mixed-precision mode, targeting
+    the int8 bpd tail measured in PERFORMANCE.md "Quality vs NFE" (the
+    last rows land the sample on the manifold; fewer steps mean less
+    self-correction of per-step rounding, so precision matters most
+    there). The split is exact per fixed precision: rows are
+    caller-built constants, state is carried through ``z=``.
+
     ``sampler(key, z=None) -> (nfe, x)``.
     """
     from ..ops.pallas.fused_em import get_pallas_em_sampler
@@ -136,13 +145,39 @@ def get_pallas_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
     taus_eval, cx, cout, cnoise = ddim_tables(sde, n_steps, eps, model,
                                               params, denoise=denoise,
                                               grid=grid)
+    n_rows = int(taus_eval.shape[0])
     # the kernel's denoise flag returns the LAST row's mean (= the x0
     # projection row when denoise, = the final DDIM mean otherwise: with
     # cnoise = 0 both conventions coincide)
+    tail_k = int(kw.pop("bf16_tail_steps", 0) or 0)
+    if tail_k:
+        if kw.get("quant") != "int8":
+            raise ValueError("bf16_tail_steps requires quant='int8'")
+        if not 0 < tail_k < n_rows:
+            raise ValueError(f"bf16_tail_steps must be in (0, {n_rows}); "
+                             f"got {tail_k}")
+        m = n_rows - tail_k
+        rows = (taus_eval, cx, cout, cnoise)
+        head = get_pallas_em_sampler(
+            sde, model, params, shape, eps=eps, denoise=False,
+            _tables_override=tuple(r[:m] for r in rows), **kw)
+        tail_kw = {k: v for k, v in kw.items()
+                   if k not in ("quant", "act_amax")}
+        tail = get_pallas_em_sampler(
+            sde, model, params, shape, eps=eps, denoise=denoise,
+            _tables_override=tuple(r[m:] for r in rows), **tail_kw)
+
+        def sampler(key, z: Optional[jnp.ndarray] = None):
+            kh, kt = jax.random.split(key)
+            _, x = head(kh, z=z)
+            _, x = tail(kt, z=x)
+            return n_rows, x
+
+        return sampler
+
     inner = get_pallas_em_sampler(
         sde, model, params, shape, eps=eps, denoise=denoise,
         _tables_override=(taus_eval, cx, cout, cnoise), **kw)
-    n_rows = int(taus_eval.shape[0])
 
     def sampler(key, z: Optional[jnp.ndarray] = None):
         _, x = inner(key, z=z)

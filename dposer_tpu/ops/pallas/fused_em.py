@@ -230,6 +230,8 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
                           probability_flow: bool = False,
                           predictor: str = "euler_maruyama",
                           quant: str = None, act_amax=None,
+                          bf16_tail_steps: int = 0,
+                          step_range: Tuple[int, int] = None,
                           _tables_override=None,
                           _ablate: frozenset = frozenset()):
     """Build the single-kernel PC sampler.
@@ -240,6 +242,21 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     activation scales — with GN/SiLU/EM math unchanged in fp32. Measured
     quality/throughput in PERFORMANCE.md "int8 serving mode"; the default
     bf16 path is untouched.
+
+    ``bf16_tail_steps=K`` (with ``quant="int8"``) composes a mixed-
+    precision schedule: int8 matmuls for the first N−K steps (far from
+    the data manifold, where per-step noise injection dwarfs rounding)
+    and the default bf16 kernel for the last K (near the manifold, where
+    score precision dominates — the regime where all-int8 degrades the
+    imputation/completion path, PERFORMANCE.md "Quality vs NFE"). Two
+    kernel dispatches; the split is EXACT for a fixed precision (the
+    per-step coefficient tables depend only on the timestep value and
+    ``sde.N``, not the grid length — pinned by
+    ``tests/test_quant.py::test_step_range_split_is_exact``).
+
+    ``step_range=(lo, hi)`` runs only rows ``lo..hi`` of the N-step
+    schedule grid (state carried in/out via ``z=`` / the return value);
+    used by the mixed-precision composition above.
 
     ``predictor`` may be 'euler_maruyama' or 'reverse_diffusion' — both
     collapse to the same 3-scalar per-step update, only the coefficient
@@ -273,12 +290,52 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     n_corr = n_corrector_steps if corrector == "langevin" else 0
     K = n_corr + (2 if imputation else 0) + 1
 
+    if bf16_tail_steps:
+        if quant != "int8" or _tables_override is not None \
+                or step_range is not None:
+            raise ValueError("bf16_tail_steps requires quant='int8' and is "
+                             "incompatible with _tables_override/step_range")
+        n_total = int(sde.N)
+        k_tail = int(bf16_tail_steps)
+        if not 0 < k_tail < n_total:
+            raise ValueError(f"bf16_tail_steps must be in (0, {n_total}); "
+                             f"got {k_tail}")
+        common = dict(eps=eps, interpret=interpret, rng_mode=rng_mode,
+                      batch_block=batch_block, corrector=corrector, snr=snr,
+                      n_corrector_steps=n_corrector_steps,
+                      imputation=imputation, mesh=mesh, gn=gn,
+                      probability_flow=probability_flow, predictor=predictor,
+                      _ablate=_ablate)
+        head = get_pallas_em_sampler(sde, model, params, shape, denoise=False,
+                                     quant="int8", act_amax=act_amax,
+                                     step_range=(0, n_total - k_tail),
+                                     **common)
+        tail = get_pallas_em_sampler(sde, model, params, shape,
+                                     denoise=denoise,
+                                     step_range=(n_total - k_tail, n_total),
+                                     **common)
+
+        def mixed(key, observation=None, mask=None, z=None, noise=None):
+            k_head, k_tail_key = jax.random.split(key)
+            nh = nt = None
+            if noise is not None:
+                if noise.ndim == 3:
+                    noise = noise[:, None]
+                nh, nt = noise[: n_total - k_tail], noise[n_total - k_tail:]
+            _, x = head(k_head, observation=observation, mask=mask, z=z,
+                        noise=nh)
+            return tail(k_tail_key, observation=observation, mask=mask, z=x,
+                        noise=nt)
+
+        return mixed
+
     if mesh is not None and mesh.devices.size > 1:
         return _sharded_sampler(sde, model, params, shape, eps, denoise,
                                 interpret, rng_mode, batch_block, corrector,
                                 snr, n_corrector_steps, imputation, mesh,
                                 gn, probability_flow, predictor, quant,
-                                act_amax, _tables_override, _ablate)
+                                act_amax, step_range, _tables_override,
+                                _ablate)
 
     kernel_rng = rng_mode == "kernel"
     batch, dim = shape
@@ -320,6 +377,15 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
 
     if _tables_override is None:
         timesteps = sde.timesteps(eps)
+        if step_range is not None:
+            lo, hi = step_range
+            if not 0 <= lo < hi <= int(timesteps.shape[0]):
+                raise ValueError(f"step_range {step_range} out of bounds for "
+                                 f"the {int(timesteps.shape[0])}-step grid")
+            # exact: every per-step table below is a function of the
+            # timestep VALUE and sde.N only (dt = -1/N), never the grid
+            # length, so a sliced grid runs those steps bit-identically
+            timesteps = timesteps[lo:hi]
         cx, cout, cnoise = _pred_tables(sde, timesteps, predictor,
                                         probability_flow=probability_flow)
     else:
@@ -440,7 +506,7 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
 def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
                      rng_mode, batch_block, corrector, snr, n_corrector_steps,
                      imputation, mesh, gn, probability_flow, predictor,
-                     quant, act_amax, _tables_override, _ablate):
+                     quant, act_amax, step_range, _tables_override, _ablate):
     """shard_map the single-device kernel over the mesh's batch shards."""
     from jax.sharding import PartitionSpec as P
 
@@ -458,8 +524,8 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
         corrector=corrector, snr=snr, n_corrector_steps=n_corrector_steps,
         imputation=imputation, mesh=None, gn=gn,
         probability_flow=probability_flow, predictor=predictor,
-        quant=quant, act_amax=act_amax, _tables_override=_tables_override,
-        _ablate=_ablate)
+        quant=quant, act_amax=act_amax, step_range=step_range,
+        _tables_override=_tables_override, _ablate=_ablate)
     axis = DATA_AXIS
     cache = {}
 

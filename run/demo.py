@@ -66,13 +66,21 @@ def parse_args(argv):
                         help="steps for --sampler ddim/dpm "
                              "(default: 50 ddim, 20 dpm)")
     parser.add_argument("--quant", type=str, default="none",
-                        choices=["none", "int8"],
+                        choices=["none", "int8", "int8-mixed"],
                         help="opt-in W8A8 serving mode for the Pallas sampler "
                              "paths (generation/metrics/completion2): int8 "
                              "MXU matmuls with activation ranges "
                              "auto-calibrated on a sampling trajectory; "
                              "~1.2-1.3x measured, distribution-level parity "
-                             "(PERFORMANCE.md). Ignored on XLA fallback paths.")
+                             "(PERFORMANCE.md). 'int8-mixed' runs int8 for "
+                             "the first N-K steps and the bf16 kernel for "
+                             "the last K (--quant-bf16-tail) — recovers the "
+                             "completion path plain int8 degrades. Ignored "
+                             "on XLA fallback paths.")
+    parser.add_argument("--quant-bf16-tail", type=int, default=100,
+                        help="K for --quant int8-mixed: number of final "
+                             "steps run by the bf16 kernel (quality-vs-NFE "
+                             "table in PERFORMANCE.md)")
     parser.add_argument("--adaptive-ode", action="store_true",
                         help="interpolation: force the adaptive RK45 "
                              "encode/decode (accuracy oracle) instead of "
@@ -147,7 +155,10 @@ def main(args):
                 n_corrector_steps=config.sampling.n_steps_each)
             print(f"[quant] int8 ranges calibrated (eps={eps}, "
                   f"corrector={corr}): {np.round(_amax_cache[ck], 3)}")
-        return dict(quant="int8", act_amax=_amax_cache[ck])
+        kw = dict(quant="int8", act_amax=_amax_cache[ck])
+        if args.quant == "int8-mixed":
+            kw["bf16_tail_steps"] = args.quant_bf16_tail
+        return kw
 
     def build_generation_sampler(shape, eps):
         """Prefer the single-kernel Pallas sampler when the config matches
@@ -166,13 +177,18 @@ def main(args):
                 if (config.model.embedding_type == "positional"
                         and jax.default_backend() == "tpu"):
                     try:
+                        kwq = quant_kwargs(eps)
+                        if "bf16_tail_steps" in kwq:
+                            # the EM-schedule tail default doesn't fit a
+                            # few-step row table; use ~10% of the rows
+                            kwq["bf16_tail_steps"] = max(
+                                1, min(kwq["bf16_tail_steps"], n_fs // 10))
                         s = few_step.get_pallas_ddim_sampler(
                             sde, model, params, shape, n_steps=n_fs, eps=eps,
-                            denoise=dn, rng_mode="kernel",
-                            **quant_kwargs(eps))
+                            denoise=dn, rng_mode="kernel", **kwq)
                         s(jax.random.PRNGKey(0))  # compile probe
                         print(f"[sampler] pallas DDIM kernel, {n_fs} steps"
-                              f"{', int8' if args.quant == 'int8' else ''}")
+                              f"{'' if args.quant == 'none' else ', ' + args.quant}")
                         return lambda k, **kw: (None, s(k, **kw)[1])
                     except Exception as e:  # noqa: BLE001
                         print(f"[sampler] pallas DDIM unavailable "
@@ -218,7 +234,7 @@ def main(args):
                 s(jax.random.PRNGKey(0))  # compile probe
                 print(f"[sampler] pallas single-kernel path "
                       f"(corrector={config.sampling.corrector}"
-                      f"{', int8' if args.quant == 'int8' else ''})")
+                      f"{'' if args.quant == 'none' else ', ' + args.quant})")
                 return s
             except Exception as e:
                 print(f"[sampler] pallas unavailable ({type(e).__name__}); using XLA scan")

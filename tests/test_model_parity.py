@@ -74,7 +74,13 @@ def test_forward_parity_fourier(torch, ref_model_lib, rng):
     with torch.no_grad():
         ref_out = tmodel(torch.from_numpy(x), torch.from_numpy(t)).numpy()
     out = np.asarray(model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)))
-    np.testing.assert_allclose(out, ref_out, rtol=3e-3, atol=1e-3)
+    # fourier sin/cos args reach 2π·16·w·log σ (hundreds of radians), so
+    # ulp-level libm/codegen differences amplify; the noise floor is
+    # HOST-dependent (atol 1e-3 calibrated on one machine failed at 2.9e-3
+    # on another). fp64-arbitrated on the failing host: jax-fp32 and
+    # torch-fp32 sit 1.96e-3 / 1.04e-3 from the fp64 truth respectively —
+    # independent rounding, no systematic mismatch; tolerance covers both.
+    np.testing.assert_allclose(out, ref_out, rtol=3e-3, atol=5e-3)
 
 
 def test_param_structure_matches_flax_init(torch_model, rng):

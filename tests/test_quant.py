@@ -192,3 +192,158 @@ def test_int8_weights_halve_vmem_budget(small):
     assert net["Wpost"].dtype == jnp.bfloat16
     assert net["quant"]["qs_h"].dtype == jnp.float32
     assert len(net["quant"]["act_inv"]) == 5
+
+
+def test_step_range_split_is_exact(small):
+    """Splitting the N-step schedule into two kernel dispatches via
+    ``step_range`` (state carried through ``z=``) is EXACT: every per-step
+    coefficient table is a function of the timestep value and ``sde.N``
+    (dt = -1/N), never the grid length. Exercised on the richest path
+    (imputation + langevin corrector) with injected noise — the foundation
+    of the mixed-precision int8→bf16 serving mode."""
+    sde, model, params = small
+    batch = 8
+    shape = (batch, DIM)
+    kw = dict(eps=1e-3, interpret=True, rng_mode="host", denoise=True,
+              imputation=True, corrector="langevin", n_corrector_steps=1)
+    K = 1 + 2 + 1
+    noise = jax.random.normal(jax.random.PRNGKey(21), (sde.N, K, batch, DIM))
+    z0 = jax.random.normal(jax.random.PRNGKey(22), shape)
+    poses = 0.1 * jax.random.normal(jax.random.PRNGKey(23), shape)
+    mask = (jnp.arange(DIM) < 20).astype(jnp.float32) * jnp.ones(shape)
+    obs = poses * mask
+
+    full = get_pallas_em_sampler(sde, model, params, shape, **kw)
+    _, want = full(jax.random.PRNGKey(0), observation=obs, mask=mask,
+                   z=z0, noise=noise)
+
+    m = sde.N // 2 + 1
+    head = get_pallas_em_sampler(sde, model, params, shape,
+                                 step_range=(0, m), **{**kw, "denoise": False})
+    tail = get_pallas_em_sampler(sde, model, params, shape,
+                                 step_range=(m, sde.N), **kw)
+    _, mid = head(jax.random.PRNGKey(0), observation=obs, mask=mask,
+                  z=z0, noise=noise[:m])
+    _, got = tail(jax.random.PRNGKey(0), observation=obs, mask=mask,
+                  z=mid, noise=noise[m:])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mixed_int8_bf16_tail_matches_jnp_twin(small):
+    """``quant="int8", bf16_tail_steps=k`` == the jnp twin that runs the
+    int8 forward for the first N−k steps and the full-precision forward
+    for the last k (same noise stream; int32 accumulation is order-exact,
+    so the trajectories agree to fp32/bf16 ordering noise)."""
+    from dposer_tpu.diffusion.fast_sampler import make_fast_forward
+
+    sde, model, params = small
+    shape = (8, DIM)
+    k_tail = 3
+    amax = calibrate_act_amax(sde, model, params, shape, jax.random.PRNGKey(2),
+                              margin=1.2)
+    timesteps = sde.timesteps(1e-3)
+    labels = _labels_for(sde, timesteps)
+    cx, cout, cnoise = _pred_tables(sde, timesteps, "euler_maruyama")
+    tprojs, out_scale = precompute_time_tables(model, params, labels)
+    fwd_q = make_fast_forward_int8(model, params, tprojs, out_scale, amax)
+    fwd_fp = make_fast_forward(model, params, tprojs, out_scale)
+
+    z = jax.random.normal(jax.random.PRNGKey(3), shape)
+    noise = jax.random.normal(jax.random.PRNGKey(4), (sde.N,) + shape)
+
+    x = z
+    for i in range(sde.N):
+        fwd = fwd_fp if i >= sde.N - k_tail else fwd_q
+        x_mean = cx[i] * x + cout[i] * fwd(x, i)
+        x = x_mean + cnoise[i] * noise[i]
+    twin_out = x_mean  # denoise=True returns the final mean
+
+    sampler = get_pallas_em_sampler(sde, model, params, shape, eps=1e-3,
+                                    interpret=True, rng_mode="host",
+                                    quant="int8", act_amax=amax,
+                                    bf16_tail_steps=k_tail, denoise=True)
+    _, kern_out = sampler(jax.random.PRNGKey(5), z=z, noise=noise)
+
+    scale = float(jnp.max(jnp.abs(twin_out))) + 1e-9
+    err = float(jnp.max(jnp.abs(kern_out - twin_out))) / scale
+    assert err < 2e-2, err
+
+
+def test_mixed_builder_validation(small):
+    sde, model, params = small
+    amax = np.ones(6, np.float32)
+    with pytest.raises(ValueError, match="requires quant='int8'"):
+        get_pallas_em_sampler(sde, model, params, (8, DIM), interpret=True,
+                              bf16_tail_steps=2)
+    with pytest.raises(ValueError, match="bf16_tail_steps must be in"):
+        get_pallas_em_sampler(sde, model, params, (8, DIM), interpret=True,
+                              quant="int8", act_amax=amax,
+                              bf16_tail_steps=sde.N)
+    with pytest.raises(ValueError, match="step_range .* out of bounds"):
+        get_pallas_em_sampler(sde, model, params, (8, DIM), interpret=True,
+                              step_range=(0, sde.N + 1))
+
+
+def test_mixed_hypo_sampler_completion_shapes(small):
+    """The completion entry point: the multi-hypothesis imputation sampler
+    threads ``bf16_tail_steps`` through (int8 head + bf16 tail, obs/mask
+    re-applied in both segments)."""
+    from dposer_tpu.ops.pallas.fused_em import get_pallas_em_hypo_sampler
+
+    sde, model, params = small
+    batch, hypo = 4, 3
+    amax = calibrate_act_amax(sde, model, params, (batch, DIM),
+                              jax.random.PRNGKey(2), margin=1.2)
+    poses = 0.1 * jax.random.normal(jax.random.PRNGKey(23), (batch, DIM))
+    mask = (jnp.arange(DIM) < 20).astype(jnp.float32) * jnp.ones((batch, DIM))
+    obs = poses * mask
+    s = get_pallas_em_hypo_sampler(sde, model, params, (batch, DIM), hypo,
+                                   eps=1e-3, interpret=True, rng_mode="host",
+                                   quant="int8", act_amax=amax,
+                                   bf16_tail_steps=2)
+    out = s(jax.random.PRNGKey(9), obs, mask)
+    assert out.shape == (batch, hypo, DIM)
+    # observed dims end pinned to the observation's denoised mean family
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mixed_ddim_matches_jnp_twin(small):
+    """Few-step analogue: ``get_pallas_ddim_sampler(quant="int8",
+    bf16_tail_steps=k)`` == the jnp twin driving the same DDIM rows with
+    the int8 forward for the head rows and the full-precision forward for
+    the tail rows (rows are deterministic: cnoise = 0)."""
+    from dposer_tpu.diffusion.fast_sampler import make_fast_forward
+    from dposer_tpu.diffusion.few_step import (ddim_tables,
+                                               get_pallas_ddim_sampler)
+
+    sde, model, params = small
+    shape = (8, DIM)
+    n_steps, k_tail = 6, 2
+    amax = calibrate_act_amax(sde, model, params, shape, jax.random.PRNGKey(2),
+                              margin=1.2)
+    taus, cx, cout, cnoise = ddim_tables(sde, n_steps, 1e-3, model, params,
+                                         denoise=True)
+    labels = _labels_for(sde, taus)
+    tprojs, out_scale = precompute_time_tables(model, params, labels)
+    # ddim_tables folds out_scale into cout; the twins must not re-apply it
+    fwd_q = make_fast_forward_int8(model, params, tprojs, None, amax)
+    fwd_fp = make_fast_forward(model, params, tprojs, None)
+
+    z = jax.random.normal(jax.random.PRNGKey(3), shape)
+    n_rows = int(taus.shape[0])
+    x = z
+    for i in range(n_rows):
+        fwd = fwd_fp if i >= n_rows - k_tail else fwd_q
+        x = cx[i] * x + cout[i] * fwd(x, i)  # cnoise = 0
+    twin_out = x
+
+    s = get_pallas_ddim_sampler(sde, model, params, shape, n_steps=n_steps,
+                                eps=1e-3, denoise=True, interpret=True,
+                                rng_mode="host", quant="int8", act_amax=amax,
+                                bf16_tail_steps=k_tail)
+    nfe, kern_out = s(jax.random.PRNGKey(5), z=z)
+    assert nfe == n_rows
+
+    scale = float(jnp.max(jnp.abs(twin_out))) + 1e-9
+    err = float(jnp.max(jnp.abs(kern_out - twin_out))) / scale
+    assert err < 2e-2, err
