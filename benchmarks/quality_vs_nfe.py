@@ -94,6 +94,18 @@ def main():
                 n_corrector_steps=config.sampling.n_steps_each)
         return dict(quant="int8", act_amax=amax[corrector])
 
+    amax_pc = {}
+
+    def quant_kw_pc(corrector):
+        if corrector not in amax_pc:
+            from dposer_tpu.ops.pallas.quant import \
+                calibrate_act_amax_per_channel
+            amax_pc[corrector] = list(calibrate_act_amax_per_channel(
+                sde, model, params, (256, D), jax.random.PRNGKey(999),
+                eps=EPS, corrector=corrector, snr=config.sampling.snr,
+                n_corrector_steps=config.sampling.n_steps_each))
+        return dict(quant="int8", act_amax=amax_pc[corrector])
+
     def builders():
         yield "pc-1000 bf16", 1000, lambda: get_pallas_em_sampler(
             sde, model, params, shape, eps=EPS, denoise=True,
@@ -111,6 +123,11 @@ def main():
                 n_corrector_steps=config.sampling.n_steps_each,
                 rng_mode="kernel", bf16_tail_steps=100,
                 **quant_kw("langevin"))
+        yield "pc-1000 int8-chan", 1000, lambda: get_pallas_em_sampler(
+            sde, model, params, shape, eps=EPS, denoise=True,
+            corrector="langevin", snr=config.sampling.snr,
+            n_corrector_steps=config.sampling.n_steps_each,
+            rng_mode="kernel", **quant_kw_pc("langevin"))
         for n in (50, 20, 10):
             yield (f"ddim-{n} bf16", n, lambda n=n: _wrap(
                 few_step.get_pallas_ddim_sampler(sde, model, params, shape,
@@ -127,6 +144,11 @@ def main():
                        rng_mode="kernel",
                        bf16_tail_steps=max(1, n // 10),
                        **quant_kw("none"))))
+            yield (f"ddim-{n} int8-chan", n, lambda n=n: _wrap(
+                few_step.get_pallas_ddim_sampler(sde, model, params, shape,
+                                                 n_steps=n, eps=EPS,
+                                                 rng_mode="kernel",
+                                                 **quant_kw_pc("none"))))
         for n in (20, 10):
             yield (f"dpm-{n} (xla)", n, lambda n=n: _wrap(
                 few_step.get_dpm_sampler(sde, model, params, shape,
@@ -175,7 +197,8 @@ def main():
                      ("completion pc-1000 int8+bf16-tail-100",
                       dict(bf16_tail_steps=100, **quant_kw("none"))),
                      ("completion pc-1000 int8+bf16-tail-200",
-                      dict(bf16_tail_steps=200, **quant_kw("none")))):
+                      dict(bf16_tail_steps=200, **quant_kw("none"))),
+                     ("completion pc-1000 int8-chan", quant_kw_pc("none"))):
         if not selected(name):
             continue
         s = get_pallas_em_hypo_sampler(sde, model, params,

@@ -102,7 +102,10 @@ def _make_kernel(n_steps: int, n_blocks: int, batch: int, batch_blk: int,
         gn_refs = rest[:n_gn]
         rest = rest[n_gn:]
         quant = None
-        if quant_inv is not None:
+        if quant_inv == "per_channel":
+            quant = (rest[0], rest[1])  # qs_h, qinv rows (bf16 head)
+            rest = rest[2:]
+        elif quant_inv is not None:
             quant = (rest[0], quant_inv)  # qs_h, act_inv (bf16 head)
             rest = rest[1:]
         if kernel_rng:
@@ -404,8 +407,13 @@ def get_pallas_em_sampler(sde: SDE, model: ScoreModelFC, params,
     Wpre, Ws, Wpost, bpost = net["Wpre"], net["Ws"], net["Wpost"], net["bpost"]
     gn_args, gn_vpu, tp_all = net["gn_args"], net["gn_vpu"], net["tp_all"]
     n_tp_pad = net["n_tp_pad"]
-    q_args = () if net["quant"] is None else (net["quant"]["qs_h"],)
-    q_inv = None if net["quant"] is None else net["quant"]["act_inv"]
+    nq = net["quant"]
+    if nq is None:
+        q_args, q_inv = (), None
+    elif nq.get("qinv") is not None:  # per-channel rows ride as a VMEM ref
+        q_args, q_inv = (nq["qs_h"], nq["qinv"]), "per_channel"
+    else:
+        q_args, q_inv = (nq["qs_h"],), nq["act_inv"]
 
     kernel = _make_kernel(n_steps, n_blocks, batch, batch_blk, dim, dim_p,
                           hidden, denoise, kernel_rng, n_corr, imputation,

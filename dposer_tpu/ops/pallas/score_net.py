@@ -72,14 +72,18 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
     ([len(labels)] or None — the model's 1/sigma output scaling to fold
     into downstream coefficient tables), ``n_tp_pad``, ``quant``.
 
-    ``quant="int8"`` (requires ``act_amax``, the per-matmul-input
-    activation ranges from ``quant.calibrate_act_amax``) emits ``Wpre /
-    Ws`` as symmetric per-output-column int8 (``Wpost`` — the output head —
-    stays bf16; rationale at the quant branch below), and ``quant`` as a
-    dict with the kernel-side rescale rows: ``qs_h`` ([rows, H] fp32;
-    row k = act_scale_k * w_col_scales_k for the pre + block matmuls) and
-    ``act_inv`` (tuple of 1+2*n_blocks python floats 127/amax_k, baked
-    into the kernel as immediates). Otherwise ``quant`` is None.
+    ``quant="int8"`` (requires ``act_amax``) emits ``Wpre / Ws`` as
+    symmetric per-output-column int8 (``Wpost`` — the output head — stays
+    bf16; rationale at the quant branch below), and ``quant`` as a dict
+    with the kernel-side rescale rows: ``qs_h`` ([rows, H] fp32; row k =
+    act_scale_k * w_col_scales_k for the pre + block matmuls) plus the
+    activation side — per-TENSOR when ``act_amax`` is an ``[n_mm]`` array
+    (``quant.calibrate_act_amax``): ``act_inv`` python-float immediates,
+    ``qinv=None``; per-CHANNEL when it is the list from
+    ``quant.calibrate_act_amax_per_channel``: the smooth_fold migration
+    bakes channel scales into the int8 weights and ``qinv`` carries the
+    [rows, H] runtime quantization rows (``act_inv=None``). Otherwise
+    ``quant`` is None.
     """
     if gn not in ("auto", "vpu", "mm"):
         raise ValueError(f"gn must be 'auto', 'vpu' or 'mm', got {gn!r}")
@@ -142,20 +146,60 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
 
     quant_dict = None
     if quant == "int8":
-        from .quant import quantize_cols
+        from .quant import quantize_cols, smooth_fold
         n_mm = 2 + 2 * n_blocks
-        amax = np.asarray(act_amax, np.float32).reshape(-1)
-        if amax.shape != (n_mm,) or not np.all(amax > 0):
-            raise ValueError(
-                f"act_amax must be {n_mm} positive ranges (one per matmul "
-                f"input: x, h_pre, (h1, h_res) per block, h_post); got "
-                f"{amax!r}")
-        Wpre, s_pre = quantize_cols(jnp.asarray(Wpre_f))
-        Ws, s_blk = [], []
-        for Wf in Ws_f:
-            q, s = quantize_cols(jnp.asarray(Wf))
-            Ws.append(q)
-            s_blk.append(np.asarray(s))
+        per_channel = isinstance(act_amax, (list, tuple))
+        if per_channel:
+            # SmoothQuant-style fold (quant.smooth_fold): per-input-channel
+            # difficulty migrates into the (padded, permuted) weights, and
+            # the runtime quantization scale becomes a per-channel ROW —
+            # the same single VPU multiply the per-tensor path already
+            # spends on its scalar, so this costs nothing at run time.
+            # Measured motivation: trained GN scales develop outlier
+            # channels that starve per-tensor int8 of levels on the
+            # imputation path (completion MPJPE 128 -> 216 mm per-tensor
+            # vs 135 per-channel in the twin probe,
+            # benchmarks/probe_perchannel_completion.py).
+            if len(act_amax) != n_mm:
+                raise ValueError(
+                    f"per-channel act_amax must have {n_mm} entries "
+                    f"(quant.calibrate_act_amax_per_channel); got "
+                    f"{len(act_amax)}")
+            if hidden < dim_p:
+                raise NotImplementedError(
+                    "per-channel quant packs the input row into the "
+                    "hidden-width table; needs hidden >= dim_p")
+            qinv = np.zeros((round_up(1 + 2 * n_blocks, 8), hidden),
+                            np.float32)
+            a0 = np.zeros((dim_p,), np.float32)
+            a0[:dim] = np.asarray(act_amax[0], np.float32).reshape(-1)
+            inv0, Wpre_f, amax_t0 = smooth_fold(a0, Wpre_f)
+            qinv[0, :dim_p] = inv0
+            Wpre, s_pre = quantize_cols(jnp.asarray(Wpre_f))
+            Ws, s_blk, amax_t_blk = [], [], []
+            for k, Wf in enumerate(Ws_f):
+                # block inputs live in the PERMUTED hidden domain
+                ak = np.asarray(act_amax[1 + k], np.float32).reshape(-1)[perm]
+                inv_k, Wf_fold, amax_tk = smooth_fold(ak, Wf)
+                qinv[1 + k, :hidden] = inv_k
+                q, s = quantize_cols(jnp.asarray(Wf_fold))
+                Ws.append(q)
+                s_blk.append(np.asarray(s))
+                amax_t_blk.append(amax_tk)
+            amax = np.asarray([amax_t0] + amax_t_blk + [1.0], np.float32)
+        else:
+            amax = np.asarray(act_amax, np.float32).reshape(-1)
+            if amax.shape != (n_mm,) or not np.all(amax > 0):
+                raise ValueError(
+                    f"act_amax must be {n_mm} positive ranges (one per "
+                    f"matmul input: x, h_pre, (h1, h_res) per block, "
+                    f"h_post); got {amax!r}")
+            Wpre, s_pre = quantize_cols(jnp.asarray(Wpre_f))
+            Ws, s_blk = [], []
+            for Wf in Ws_f:
+                q, s = quantize_cols(jnp.asarray(Wf))
+                Ws.append(q)
+                s_blk.append(np.asarray(s))
         # The OUTPUT HEAD stays bf16: it is the only matmul whose output is
         # not renormalized (every hidden matmul feeds a GroupNorm, which
         # washes per-step quantization error out; the head's error lands
@@ -170,8 +214,10 @@ def build_network_operands(model, params, dim: int, dim_p: int, labels,
         for k in range(2 * n_blocks):
             qs_h[1 + k] = (amax[1 + k] / 127.0) * s_blk[k]
         quant_dict = dict(qs_h=jnp.asarray(qs_h),
-                          act_inv=tuple(float(127.0 / a)
-                                        for a in amax[:n_mm - 1]))
+                          act_inv=(None if per_channel else
+                                   tuple(float(127.0 / a)
+                                         for a in amax[:n_mm - 1])),
+                          qinv=(jnp.asarray(qinv) if per_channel else None))
     else:
         Wpre = jnp.asarray(Wpre_f, jnp.bfloat16)
         Ws = [jnp.asarray(Wf, jnp.bfloat16) for Wf in Ws_f]
@@ -294,12 +340,21 @@ def bind_fwd(n_blocks: int, hidden: int, gn_vpu: bool, ablate: frozenset,
                            preferred_element_type=jnp.float32)
     else:
         qs_h, act_inv = quant
+        # act_inv: per-tensor mode = a tuple of python-float immediates;
+        # per-channel mode = a VMEM ref of quantization rows (smooth_fold
+        # scales pre-divided out; same one VPU multiply either way)
+        per_channel_q = not isinstance(act_inv, tuple)
 
         def mm(h, k, Wref, post=False):
             if post:  # bf16 head — see build_network_operands quant branch
                 return jnp.dot(h.astype(jnp.bfloat16), Wref[:],
                                preferred_element_type=jnp.float32)
-            hq = jnp.clip(jnp.round(h * act_inv[k]), -127.0, 127.0)
+            if per_channel_q:
+                row = act_inv[k, :][None, :]
+                hq = h * row[:, : h.shape[-1]]
+            else:
+                hq = h * act_inv[k]
+            hq = jnp.clip(jnp.round(hq), -127.0, 127.0)
             acc = jnp.dot(hq.astype(jnp.int8), Wref[:],
                           preferred_element_type=jnp.int32)
             return acc.astype(jnp.float32) * qs_h[k, :][None, :]

@@ -81,6 +81,14 @@ def parse_args(argv):
                         help="K for --quant int8-mixed: number of final "
                              "steps run by the bf16 kernel (quality-vs-NFE "
                              "table in PERFORMANCE.md)")
+    parser.add_argument("--quant-scheme", type=str, default="tensor",
+                        choices=["tensor", "channel"],
+                        help="activation quantization granularity for the "
+                             "int8 modes: per-tensor static scales, or "
+                             "per-channel SmoothQuant-fold scales "
+                             "(channel scales migrate into the int8 "
+                             "weights; same kernel cost — measured "
+                             "rationale in PERFORMANCE.md)")
     parser.add_argument("--adaptive-ode", action="store_true",
                         help="interpolation: force the adaptive RK45 "
                              "encode/decode (accuracy oracle) instead of "
@@ -142,19 +150,30 @@ def main(args):
         corrector) and cached for the process."""
         if args.quant == "none":
             return {}
-        from dposer_tpu.ops.pallas.quant import calibrate_act_amax
+        from dposer_tpu.ops.pallas.quant import (calibrate_act_amax,
+                                                 calibrate_act_amax_per_channel)
 
         corr = (config.sampling.corrector
                 if config.sampling.corrector == "langevin" else "none")
-        ck = (float(eps), corr)
+        ck = (float(eps), corr, args.quant_scheme)
         if ck not in _amax_cache:
-            _amax_cache[ck] = calibrate_act_amax(
-                sde, model, params, (256, N_POSES * POSE_DIM),
-                jax.random.PRNGKey(args.seed + 999), eps=float(eps),
-                corrector=corr, snr=config.sampling.snr,
-                n_corrector_steps=config.sampling.n_steps_each)
+            calib_kw = dict(eps=float(eps), corrector=corr,
+                            snr=config.sampling.snr,
+                            n_corrector_steps=config.sampling.n_steps_each)
+            if args.quant_scheme == "channel":
+                _amax_cache[ck] = list(calibrate_act_amax_per_channel(
+                    sde, model, params, (256, N_POSES * POSE_DIM),
+                    jax.random.PRNGKey(args.seed + 999), **calib_kw))
+                summary = np.round([float(np.max(a))
+                                    for a in _amax_cache[ck]], 3)
+            else:
+                _amax_cache[ck] = calibrate_act_amax(
+                    sde, model, params, (256, N_POSES * POSE_DIM),
+                    jax.random.PRNGKey(args.seed + 999), **calib_kw)
+                summary = np.round(_amax_cache[ck], 3)
             print(f"[quant] int8 ranges calibrated (eps={eps}, "
-                  f"corrector={corr}): {np.round(_amax_cache[ck], 3)}")
+                  f"corrector={corr}, scheme={args.quant_scheme}): "
+                  f"{summary}")
         kw = dict(quant="int8", act_amax=_amax_cache[ck])
         if args.quant == "int8-mixed":
             kw["bf16_tail_steps"] = args.quant_bf16_tail

@@ -150,6 +150,21 @@ def test_demo_generation_quant_int8(workdir):
     assert "[quant] int8 ranges calibrated" in out
 
 
+def test_demo_generation_quant_int8_per_channel(workdir):
+    """--quant int8 --quant-scheme channel: per-channel (SmoothQuant-fold)
+    calibration runs and the protocol completes."""
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "generation", "--quant", "int8",
+        "--quant-scheme", "channel",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--output-path", workdir["out"]])
+    assert "loaded checkpoint" in out
+    assert "scheme=channel" in out
+
+
 def test_demo_generation_quant_int8_mixed(workdir):
     """--quant int8-mixed (int8 head + bf16 tail): flag parses, the
     calibration runs, and the CPU host falls back to XLA cleanly."""

@@ -166,6 +166,33 @@ def test_int8_kernel_moments_on_trained_model(trained):
     assert abs(ca - cb) < 5e-2, (ca, cb)
 
 
+def test_int8_per_channel_kernel_moments_on_trained_model(trained):
+    """The per-channel (SmoothQuant-fold) int8 mode is held to the same
+    trained-model distribution contract as per-tensor int8; the twin probe
+    (benchmarks/probe_perchannel_completion.py) is where its advantage on
+    the imputation path is measured."""
+    from dposer_tpu.diffusion.fast_sampler import get_fast_pc_sampler
+    from dposer_tpu.ops.pallas.quant import calibrate_act_amax_per_channel
+
+    sde, model, params = trained
+    shape = (2000, DIM)
+    amax_c = calibrate_act_amax_per_channel(sde, model, params, (256, DIM),
+                                            jax.random.PRNGKey(31))
+    fast = get_fast_pc_sampler(sde, model, params, shape, eps=1e-3)
+    q = get_pallas_em_sampler(sde, model, params, shape, eps=1e-3,
+                              interpret=True, quant="int8",
+                              act_amax=list(amax_c))
+    _, a = fast(jax.random.PRNGKey(33))
+    _, b = q(jax.random.PRNGKey(33))
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) < 1e-2, (a.mean(), b.mean())
+    assert abs(a.std() - b.std()) < 1e-2, (a.std(), b.std())
+    ca = np.corrcoef(a[:, 0], a[:, 32])[0, 1]
+    cb = np.corrcoef(b[:, 0], b[:, 32])[0, 1]
+    assert abs(ca - cb) < 5e-2, (ca, cb)
+
+
 def test_int8_mixed_kernel_moments_on_trained_model(trained):
     """The mixed-precision serving mode (int8 head + bf16 tail) is held to
     the same trained-model distribution contract as plain int8 — and its

@@ -28,6 +28,7 @@ from dposer_tpu.diffusion.sde import SubVPSDE
 from dposer_tpu.models import ScoreModelFC
 from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
 from dposer_tpu.ops.pallas.quant import (calibrate_act_amax,
+                                         calibrate_act_amax_per_channel,
                                          make_fast_forward_int8, n_matmuls,
                                          quantize_cols)
 
@@ -347,3 +348,87 @@ def test_mixed_ddim_matches_jnp_twin(small):
     scale = float(jnp.max(jnp.abs(twin_out))) + 1e-9
     err = float(jnp.max(jnp.abs(kern_out - twin_out))) / scale
     assert err < 2e-2, err
+
+
+def test_kernel_matches_jnp_per_channel_twin_short_horizon(small):
+    """Per-channel (smooth_fold) kernel plumbing == the per-channel jnp
+    twin: same channel scales folded into the weights (fold happens in the
+    PERMUTED domain in the kernel, unpermuted in the twin — column max-abs
+    and the per-channel algebra are permutation-consistent), same runtime
+    quantization rows, saturating round. Short-horizon trajectories agree
+    to fp32 ordering noise, like the per-tensor twin test above."""
+    sde, model, params = small
+    shape = (8, DIM)
+    amax_c = calibrate_act_amax_per_channel(
+        sde, model, params, shape, jax.random.PRNGKey(2), margin=1.2)
+
+    timesteps = sde.timesteps(1e-3)
+    labels = _labels_for(sde, timesteps)
+    cx, cout, cnoise = _pred_tables(sde, timesteps, "euler_maruyama")
+    tprojs, out_scale = precompute_time_tables(model, params, labels)
+    fwd_q = make_fast_forward_int8(model, params, tprojs, out_scale,
+                                   list(amax_c))
+
+    z = jax.random.normal(jax.random.PRNGKey(3), shape)
+    noise = jax.random.normal(jax.random.PRNGKey(4), (sde.N,) + shape)
+
+    x = z
+    for i in range(sde.N):
+        x_mean = cx[i] * x + cout[i] * fwd_q(x, i)
+        x = x_mean + cnoise[i] * noise[i]
+    twin_out = x_mean
+
+    sampler = get_pallas_em_sampler(sde, model, params, shape, interpret=True,
+                                    rng_mode="host", quant="int8",
+                                    act_amax=list(amax_c), denoise=True)
+    _, kern_out = sampler(jax.random.PRNGKey(5), z=z, noise=noise)
+
+    scale = float(jnp.max(jnp.abs(twin_out))) + 1e-9
+    err = float(jnp.max(jnp.abs(kern_out - twin_out))) / scale
+    assert err < 2e-2, err
+
+
+def test_per_channel_builder_validation_and_operands(small):
+    from dposer_tpu.ops.pallas.score_net import build_network_operands
+
+    sde, model, params = small
+    labels = _labels_for(sde, sde.timesteps(1e-3))
+    with pytest.raises(ValueError, match="per-channel act_amax must have"):
+        build_network_operands(model, params, DIM, 128, labels,
+                               quant="int8", act_amax=[np.ones(DIM)])
+    amax_c = [np.ones(DIM, np.float32)] + \
+        [np.ones(model.hidden_dim, np.float32)] * (2 * model.n_blocks) + \
+        [np.ones(model.hidden_dim, np.float32)]
+    net = build_network_operands(model, params, DIM, 128, labels,
+                                 quant="int8", act_amax=amax_c)
+    q = net["quant"]
+    assert q["act_inv"] is None and q["qinv"] is not None
+    assert q["qinv"].shape == q["qs_h"].shape
+    assert net["Wpre"].dtype == jnp.int8
+    # per-channel row for the input matmul occupies the padded dim slots
+    assert float(jnp.abs(q["qinv"][0, :DIM]).min()) > 0
+
+
+def test_per_channel_sharded_mesh_matches_single_device(small):
+    """Per-channel quant kwargs thread through the shard_map path like the
+    per-tensor ones (int32 accumulation is shard-exact)."""
+    from dposer_tpu import parallel as par
+
+    sde, model, params = small
+    mesh = par.make_mesh()
+    batch = 64
+    amax_c = calibrate_act_amax_per_channel(
+        sde, model, params, (batch, DIM), jax.random.PRNGKey(2), margin=1.2)
+    z0 = jax.random.normal(jax.random.PRNGKey(13), (batch, DIM))
+    noise = jax.random.normal(jax.random.PRNGKey(14), (sde.N, 1, batch, DIM))
+
+    single = get_pallas_em_sampler(sde, model, params, (batch, DIM), eps=1e-3,
+                                   interpret=True, quant="int8",
+                                   act_amax=list(amax_c))
+    _, a = single(jax.random.PRNGKey(0), z=z0, noise=noise)
+    sharded = get_pallas_em_sampler(sde, model, params, (batch, DIM), eps=1e-3,
+                                    interpret=True, quant="int8",
+                                    act_amax=list(amax_c), mesh=mesh,
+                                    batch_block=batch // mesh.devices.size)
+    _, b = sharded(jax.random.PRNGKey(0), z=z0, noise=noise)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
