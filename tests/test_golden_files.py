@@ -141,3 +141,55 @@ def test_quality_vs_nfe_mixed_artifact_pins():
     assert all(a > b for a, b in zip(seq, seq[1:])), seq
     # ...but still a real gap at tail-200: completion serves bf16
     assert tails[-1] > 1.1 * c_bf16, (tails[-1], c_bf16)
+
+
+def test_quality_vs_nfe_chan_artifact_pins():
+    """Pin the per-channel (SmoothQuant-fold) int8 artifact to the serving
+    guidance PERFORMANCE.md derives from it ("Per-channel int8 — the fix
+    at the source"):
+
+    - generation: int8-chan APD within 2% of the same-session bf16 row
+      and bpd within 0.05 (plain per-tensor int8: 4.4% / +0.37) — and at
+      least as fast as plain int8 (same kernel, scales folded into the
+      weights);
+    - completion: int8-chan lands within 5% of bf16 MPJPE, vs the
+      per-tensor mode's >1.2x degradation and the mixed mode's partial
+      tail-200 rescue — completion may serve int8 again;
+    - few-step: the int8-chan bpd tail vs the bf16 twins (main artifact,
+      same seeds -> deterministic quality) is < 0.25 where per-tensor
+      paid +1.8-2.2.
+
+    Regenerate with benchmarks/quality_vs_nfe.py --quant-scheme channel.
+    """
+    import json
+
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "protocols_r4")
+    rows = {r["mode"]: r for r in json.load(
+        open(os.path.join(base, "quality_vs_nfe_chan.json")))["rows"]}
+    main = {r["mode"]: r for r in json.load(
+        open(os.path.join(base, "quality_vs_nfe.json")))["rows"]}
+
+    pc = rows["pc-1000 bf16"]
+    i8 = rows["pc-1000 int8"]
+    ch = rows["pc-1000 int8-chan"]
+    assert abs(ch["apd"] - pc["apd"]) / pc["apd"] < 0.02, ch["apd"]
+    assert abs(ch["bpd"] - pc["bpd"]) < 0.05, ch["bpd"]
+    # strictly closer to bf16 than per-tensor int8 on both quality axes
+    assert abs(ch["apd"] - pc["apd"]) < abs(i8["apd"] - pc["apd"])
+    assert abs(ch["bpd"] - pc["bpd"]) < abs(i8["bpd"] - pc["bpd"])
+    # folding scales into the weights costs nothing at serving time
+    assert ch["poses_per_sec"] > 0.9 * i8["poses_per_sec"]
+
+    c_bf16 = rows["completion pc-1000 bf16"]["mpjpe"]
+    c_chan = rows["completion pc-1000 int8-chan"]["mpjpe"]
+    assert c_chan < 1.05 * c_bf16, (c_chan, c_bf16)
+    assert c_chan < rows["completion pc-1000 int8+bf16-tail-200"]["mpjpe"]
+
+    # few-step bpd tail closed (bf16 twins from the main artifact --
+    # quality is same-seed deterministic across the two sessions, speed
+    # is not, so only quality crosses files)
+    for n in (50, 20, 10):
+        gap = (rows[f"ddim-{n} int8-chan"]["bpd"]
+               - main[f"ddim-{n} bf16"]["bpd"])
+        assert 0.0 < gap < 0.25, (n, gap)
