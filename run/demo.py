@@ -74,8 +74,10 @@ def parse_args(argv):
                              "~1.2-1.3x measured, distribution-level parity "
                              "(PERFORMANCE.md). 'int8-mixed' runs int8 for "
                              "the first N-K steps and the bf16 kernel for "
-                             "the last K (--quant-bf16-tail) — recovers the "
-                             "completion path plain int8 degrades. Ignored "
+                             "the last K (--quant-bf16-tail); for the "
+                             "completion/few-step paths per-tensor int8 "
+                             "degrades, prefer '--quant int8 "
+                             "--quant-scheme channel'. Ignored "
                              "on XLA fallback paths.")
     parser.add_argument("--quant-bf16-tail", type=int, default=100,
                         help="K for --quant int8-mixed: number of final "

@@ -159,7 +159,7 @@ def test_quality_vs_nfe_chan_artifact_pins():
       same seeds -> deterministic quality) is < 0.25 where per-tensor
       paid +1.8-2.2.
 
-    Regenerate with benchmarks/quality_vs_nfe.py --quant-scheme channel.
+    Regenerate with benchmarks/quality_vs_nfe.py --only chan,pc-1000.
     """
     import json
 
