@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.score_mlp import ScoreModelFC
-from .fast_sampler import (_corrector_tables, _labels_for,
+from .fast_sampler import (_corrector_tables, _imputation_tables, _labels_for,
                            make_fast_forward, precompute_time_tables)
 from .sde import SDE
 
@@ -97,8 +97,19 @@ def ddim_tables(sde: SDE, n_steps: int, eps: float, model: ScoreModelFC,
 def get_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
                      shape: Tuple[int, ...], n_steps: int = 50,
                      eps: float = 1e-3, denoise: bool = True,
-                     grid: str = "t", jit: bool = True):
-    """Tabled XLA DDIM: ``sampler(key, z=None) -> (nfe, x)``."""
+                     grid: str = "t", imputation: bool = False,
+                     jit: bool = True):
+    """Tabled XLA DDIM: ``sampler(key, observation=None, mask=None, z=None)
+    -> (nfe, x)``.
+
+    ``imputation=True`` adds the reference's masked re-noise/overwrite
+    completion update (ref sampling.py:410-427) around every DDIM row:
+    observed dims are replaced with ``mc(tau) * obs + std(tau) * z`` before
+    and after each deterministic update — the same pre-corrector /
+    post-predictor placement the 1000-step samplers (and the Pallas
+    kernel) use, so a 10-50x-fewer-NFE completion serving mode falls out
+    of the identical machinery.
+    """
     taus_eval, cx, cout, _ = ddim_tables(sde, n_steps, eps, model, params,
                                          denoise=denoise, grid=grid)
     labels = _labels_for(sde, taus_eval)
@@ -107,12 +118,26 @@ def get_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
     fwd = make_fast_forward(model, params, tprojs, None)
     del out_scale
     n_rows = int(taus_eval.shape[0])
+    mc, istd = _imputation_tables(sde, taus_eval)
 
-    def sampler(key, z: Optional[jnp.ndarray] = None):
+    def sampler(key, observation=None, mask=None,
+                z: Optional[jnp.ndarray] = None):
         x = sde.prior_sampling(key, shape) if z is None else z
 
+        def impute(x, i, k):
+            masked = mc[i] * observation + istd[i] * jax.random.normal(
+                k, shape, x.dtype)
+            return x * (1 - mask) + masked * mask
+
         def body(x, i):
-            return cx[i] * x + cout[i] * fwd(x, i), None
+            if imputation:
+                _, kci, _, kpi = jax.random.split(
+                    jax.random.fold_in(key, i), 4)
+                x = impute(x, i, kci)
+            x = cx[i] * x + cout[i] * fwd(x, i)
+            if imputation:
+                x = impute(x, i, kpi)
+            return x, None
 
         x, _ = jax.lax.scan(body, x, jnp.arange(n_rows))
         return n_rows, x
@@ -138,7 +163,14 @@ def get_pallas_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
     there). The split is exact per fixed precision: rows are
     caller-built constants, state is carried through ``z=``.
 
-    ``sampler(key, z=None) -> (nfe, x)``.
+    ``imputation=True`` (forwarded to the kernel) enables the masked
+    re-noise/overwrite completion update: the kernel derives its per-row
+    ``imput_mean/imput_std`` columns from the overridden DDIM timesteps,
+    so few-step completion shares the 1000-step path's imputation
+    machinery verbatim (ref sampling.py:410-427).
+
+    ``sampler(key, observation=None, mask=None, z=None, noise=None)
+    -> (nfe, x)``.
     """
     from ..ops.pallas.fused_em import get_pallas_em_sampler
 
@@ -167,10 +199,18 @@ def get_pallas_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
             sde, model, params, shape, eps=eps, denoise=denoise,
             _tables_override=tuple(r[m:] for r in rows), **tail_kw)
 
-        def sampler(key, z: Optional[jnp.ndarray] = None):
+        def sampler(key, observation=None, mask=None,
+                    z: Optional[jnp.ndarray] = None, noise=None):
             kh, kt = jax.random.split(key)
-            _, x = head(kh, z=z)
-            _, x = tail(kt, z=x)
+            nh = nt = None
+            if noise is not None:
+                if noise.ndim == 3:
+                    noise = noise[:, None]
+                nh, nt = noise[:m], noise[m:]
+            _, x = head(kh, observation=observation, mask=mask, z=z,
+                        noise=nh)
+            _, x = tail(kt, observation=observation, mask=mask, z=x,
+                        noise=nt)
             return n_rows, x
 
         return sampler
@@ -179,8 +219,10 @@ def get_pallas_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
         sde, model, params, shape, eps=eps, denoise=denoise,
         _tables_override=(taus_eval, cx, cout, cnoise), **kw)
 
-    def sampler(key, z: Optional[jnp.ndarray] = None):
-        _, x = inner(key, z=z)
+    def sampler(key, observation=None, mask=None,
+                z: Optional[jnp.ndarray] = None, noise=None):
+        _, x = inner(key, observation=observation, mask=mask, z=z,
+                     noise=noise)
         return n_rows, x
 
     return sampler
@@ -189,11 +231,15 @@ def get_pallas_ddim_sampler(sde: SDE, model: ScoreModelFC, params,
 def get_dpm_sampler(sde: SDE, model: ScoreModelFC, params,
                     shape: Tuple[int, ...], n_steps: int = 20,
                     eps: float = 1e-3, denoise: bool = True,
-                    grid: str = "lambda", jit: bool = True):
+                    grid: str = "lambda", imputation: bool = False,
+                    jit: bool = True):
     """Tabled DPM-Solver++(2M): second-order multistep in data-prediction
-    form; ``sampler(key, z=None) -> (nfe, x)``. The scan carries the
-    previous step's x0-prediction; the first step is first-order (DDIM in
-    x0 form). ``grid`` defaults to uniform log-SNR per the paper."""
+    form; ``sampler(key, observation=None, mask=None, z=None) -> (nfe, x)``.
+    The scan carries the previous step's x0-prediction; the first step is
+    first-order (DDIM in x0 form). ``grid`` defaults to uniform log-SNR per
+    the paper. ``imputation=True`` applies the masked re-noise/overwrite
+    completion update around every row (ref sampling.py:410-427), as in
+    ``get_ddim_sampler``."""
     taus = step_grid(sde, n_steps + 1, eps, grid)
     a, s = _alpha_sigma_1d(sde, taus)
     labels = _labels_for(sde, taus)
@@ -214,15 +260,28 @@ def get_dpm_sampler(sde: SDE, model: ScoreModelFC, params,
     n_rows = int(h.shape[0])
     d_last1 = 1.0 / a[-1]
     d_last2 = -(s[-1] / a[-1]) * ehat[-1]
+    mc, istd = _imputation_tables(sde, taus)
 
-    def sampler(key, z: Optional[jnp.ndarray] = None):
+    def sampler(key, observation=None, mask=None,
+                z: Optional[jnp.ndarray] = None):
         x = sde.prior_sampling(key, shape) if z is None else z
+
+        def impute(x, i, k):
+            masked = mc[i] * observation + istd[i] * jax.random.normal(
+                k, shape, x.dtype)
+            return x * (1 - mask) + masked * mask
 
         def body(carry, i):
             x, x0_prev = carry
+            if imputation:
+                _, kci, _, kpi = jax.random.split(
+                    jax.random.fold_in(key, i), 4)
+                x = impute(x, i, kci)
             x0 = d1[i] * x + d2[i] * fwd(x, i)
             D = (1.0 + w_prev[i]) * x0 - w_prev[i] * x0_prev
             x_new = c_x[i] * x + c_D[i] * D
+            if imputation:
+                x_new = impute(x_new, i, kpi)
             return (x_new, x0), None
 
         (x, x0_last), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)),
@@ -232,7 +291,62 @@ def get_dpm_sampler(sde: SDE, model: ScoreModelFC, params,
             # final x0 projection at eps (one extra eval, as the EM/DDIM
             # denoise convention)
             x = d_last1 * x + d_last2 * fwd(x, n_rows)
+            if imputation:
+                x = impute(x, n_rows, jax.random.fold_in(key, n_rows))
             nfe += 1
         return nfe, x
 
     return jax.jit(sampler) if jit else sampler
+
+
+# ---------------------------------------------------------------------------
+# Multi-hypothesis completion serving (the few-step analogue of
+# ops.pallas.fused_em.get_pallas_em_hypo_sampler)
+# ---------------------------------------------------------------------------
+
+def _tile_hypos(build_sampler, shape, hypo_num):
+    """Tile H hypotheses into rows of one [H*B, D] dispatch; untile to
+    [B, H, D]. Rows decorrelate through the prior sample / noise streams,
+    replacing the reference's sequential hypothesis loop
+    (ref run/demo.py:359-362)."""
+    batch, dim = shape
+    inner = build_sampler((hypo_num * batch, dim))
+
+    def sampler(key, observation, mask, z: Optional[jnp.ndarray] = None):
+        obs_t = jnp.tile(observation, (hypo_num, 1))
+        mask_t = jnp.tile(mask, (hypo_num, 1))
+        nfe, out = inner(key, observation=obs_t, mask=mask_t, z=z)
+        return nfe, jnp.swapaxes(out.reshape(hypo_num, batch, dim), 0, 1)
+
+    return sampler
+
+
+def get_ddim_hypo_sampler(sde: SDE, model: ScoreModelFC, params,
+                          shape: Tuple[int, ...], hypo_num: int, **kw):
+    """XLA DDIM completion: ``sampler(key, observation [B,D], mask [B,D])
+    -> (nfe, [B, H, D])``."""
+    kw.setdefault("imputation", True)
+    return _tile_hypos(lambda s: get_ddim_sampler(sde, model, params, s, **kw),
+                       shape, hypo_num)
+
+
+def get_dpm_hypo_sampler(sde: SDE, model: ScoreModelFC, params,
+                         shape: Tuple[int, ...], hypo_num: int, **kw):
+    """XLA DPM-Solver++(2M) completion: same contract as
+    ``get_ddim_hypo_sampler``."""
+    kw.setdefault("imputation", True)
+    return _tile_hypos(lambda s: get_dpm_sampler(sde, model, params, s, **kw),
+                       shape, hypo_num)
+
+
+def get_pallas_ddim_hypo_sampler(sde: SDE, model: ScoreModelFC, params,
+                                 shape: Tuple[int, ...], hypo_num: int, **kw):
+    """Single-dispatch Pallas DDIM completion: all hypotheses tile into
+    rows of one kernel launch (the few-step twin of
+    ``fused_em.get_pallas_em_hypo_sampler``). Accepts the kernel's extra
+    options (``quant``/``act_amax``, ``bf16_tail_steps``, ``interpret``,
+    ``mesh``...)."""
+    kw.setdefault("imputation", True)
+    return _tile_hypos(
+        lambda s: get_pallas_ddim_sampler(sde, model, params, s, **kw),
+        shape, hypo_num)

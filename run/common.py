@@ -14,6 +14,17 @@ from dposer_tpu.models import create_score_model
 from dposer_tpu.utils.checkpoint import load_params_for_inference
 
 
+# Kernel-unavailability classes the Pallas-vs-XLA routing treats as a clean
+# fallback: the fused kernels REFUSE configurations outside their scope with
+# ValueError (e.g. the langevin whole-batch VMEM budget guard,
+# ops/pallas/fused_em.py:350-379) or NotImplementedError (unsupported
+# corrector/predictor). Anything else — a Mosaic lowering failure, an XLA
+# runtime error — is a genuine bug and must propagate, not silently demote
+# a protocol to the XLA path (VERDICT r4 item 5). Pinned by
+# tests/test_pallas_pc_paths.py::test_vmem_refusal_is_a_clean_fallback.
+KERNEL_FALLBACK_ERRORS = (ValueError, NotImplementedError)
+
+
 def pose_dim(config) -> int:
     return 3 if config.data.rot_rep == "axis" else 6
 

@@ -78,7 +78,8 @@ def main(args):
     from dposer_tpu.tasks import DPoserComp
     from dposer_tpu.utils.masks import create_mask
 
-    from .common import build_normalizer, load_model_for_inference
+    from .common import (KERNEL_FALLBACK_ERRORS, build_normalizer,
+                         load_model_for_inference)
 
     config = FLAGS.config
     key = jax.random.PRNGKey(args.seed)
@@ -119,8 +120,12 @@ def main(args):
                                   args.hypo)  # compile probe
             print(f"completion solver: fused Pallas kernel "
                   f"({'shard_map x' + str(n_dev) if n_dev > 1 else '1 device'})")
-        except Exception as e:  # noqa: BLE001 — any Mosaic/VMEM issue
-            print(f"pallas completion solver unavailable ({e}); using XLA")
+        except KERNEL_FALLBACK_ERRORS as e:
+            # the fused kernels refuse out-of-scope configs with these types
+            # (VMEM budget guard, unsupported corrector/predictor); genuine
+            # Mosaic/XLA failures propagate (VERDICT r4 item 5)
+            print(f"pallas completion solver unavailable "
+                  f"({type(e).__name__}: {e}); using XLA")
             compfn = None
     if compfn is None:
         compfn = DPoserComp(sde, score_fn, config.training.continuous,

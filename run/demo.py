@@ -26,6 +26,7 @@ FOCAL = [1500, 1500]
 PRINCPT = [200, 192]
 
 
+
 def parse_args(argv):
     parser = argparse_flags.ArgumentParser(
         description="visualize the save files and demo on toy data")
@@ -113,7 +114,9 @@ def main(args):
     from dposer_tpu.tasks import DPoserComp
     from dposer_tpu.utils.masks import create_mask
 
-    from .common import build_normalizer, load_model_for_inference, pose_dim
+    from .common import (KERNEL_FALLBACK_ERRORS as
+                         _KERNEL_FALLBACK_ERRORS, build_normalizer,
+                         load_model_for_inference, pose_dim)
 
     config = FLAGS.config
     key = jax.random.PRNGKey(args.seed)
@@ -211,9 +214,9 @@ def main(args):
                         print(f"[sampler] pallas DDIM kernel, {n_fs} steps"
                               f"{'' if args.quant == 'none' else ', ' + args.quant}")
                         return lambda k, **kw: (None, s(k, **kw)[1])
-                    except Exception as e:  # noqa: BLE001
+                    except _KERNEL_FALLBACK_ERRORS as e:
                         print(f"[sampler] pallas DDIM unavailable "
-                              f"({type(e).__name__}); tabled XLA")
+                              f"({type(e).__name__}: {e}); tabled XLA")
                 s = few_step.get_ddim_sampler(sde, model, params, shape,
                                               n_steps=n_fs, eps=eps,
                                               denoise=dn)
@@ -236,9 +239,9 @@ def main(args):
                 s(jax.random.PRNGKey(0))  # compile probe
                 print("[sampler] pallas RK4 PF-ODE kernel path")
                 return lambda k, **kw: (None, s(k, **kw)[1])
-            except Exception as e:  # noqa: BLE001
+            except _KERNEL_FALLBACK_ERRORS as e:
                 print(f"[sampler] pallas ODE unavailable "
-                      f"({type(e).__name__}); adaptive RK45")
+                      f"({type(e).__name__}: {e}); adaptive RK45")
         if pallas_eligible(("none", "langevin")):
             try:
                 from dposer_tpu.ops.pallas.fused_em import get_pallas_em_sampler
@@ -257,8 +260,8 @@ def main(args):
                       f"(corrector={config.sampling.corrector}"
                       f"{'' if args.quant == 'none' else ', ' + args.quant})")
                 return s
-            except Exception as e:
-                print(f"[sampler] pallas unavailable ({type(e).__name__}); using XLA scan")
+            except _KERNEL_FALLBACK_ERRORS as e:
+                print(f"[sampler] pallas unavailable ({type(e).__name__}: {e}); using XLA scan")
         return par.data_parallel_sampler(
             sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
                                          inverse_scaler=None, eps=eps, jit=False),
@@ -373,14 +376,60 @@ def main(args):
                                         mesh=mesh if n_dev > 1 else None)
                     multihypo = compfn.optimize_hypos(ko, observation, mask,
                                                       hypo_num)
-                except Exception as e:  # noqa: BLE001
-                    print(f"pallas completion solver unavailable ({e}); XLA")
+                    print("[completion] pallas fused Adam-loop solver")
+                except _KERNEL_FALLBACK_ERRORS as e:
+                    print(f"[completion] pallas solver unavailable "
+                          f"({type(e).__name__}: {e}); XLA")
             if multihypo is None:
                 comp_mesh = mesh if observation.shape[0] % mesh.devices.size == 0 else None
                 compfn = DPoserComp(sde, score_fn, time_strategy="2",
                                     sample_time=demo_sample_time,
                                     mesh=comp_mesh)
                 multihypo = compfn.optimize_hypos(ko, observation, mask, hypo_num)
+        elif args.sampler != "pc":
+            # few-step masked imputation (DDIM through the fused kernel /
+            # XLA; DPM-Solver++(2M) XLA) — the completion serving mode:
+            # 10-50x fewer NFE than the 1000-step imputation sampler at
+            # measured quality (PERFORMANCE.md "Quality vs NFE",
+            # completion columns). Ref protocol: sampling.py:410-427.
+            from dposer_tpu.diffusion import few_step
+
+            n_fs = args.sampler_steps or (50 if args.sampler == "ddim" else 20)
+            dn = config.sampling.noise_removal
+            multihypo = None
+            key, kh = jax.random.split(key)
+            if (args.sampler == "ddim"
+                    and config.model.embedding_type == "positional"
+                    and jax.default_backend() == "tpu"):
+                try:
+                    kwq = quant_kwargs(sampling_eps)
+                    if "bf16_tail_steps" in kwq:
+                        kwq["bf16_tail_steps"] = max(
+                            1, min(kwq["bf16_tail_steps"], n_fs // 10))
+                    s = few_step.get_pallas_ddim_hypo_sampler(
+                        sde, model, params, observation.shape, hypo_num,
+                        n_steps=n_fs, eps=sampling_eps, denoise=dn,
+                        rng_mode="kernel", **kwq)
+                    _, multihypo = s(kh, observation, mask)
+                    print(f"[sampler] pallas DDIM imputation kernel, "
+                          f"{n_fs} steps x {hypo_num} hypos, one dispatch"
+                          f"{'' if args.quant == 'none' else ', ' + args.quant}")
+                except _KERNEL_FALLBACK_ERRORS as e:
+                    print(f"[sampler] pallas DDIM imputation unavailable "
+                          f"({type(e).__name__}: {e}); tabled XLA")
+            if multihypo is None:
+                if args.sampler == "ddim":
+                    s = few_step.get_ddim_hypo_sampler(
+                        sde, model, params, observation.shape, hypo_num,
+                        n_steps=n_fs, eps=sampling_eps, denoise=dn)
+                    print(f"[sampler] tabled DDIM imputation, {n_fs} steps")
+                else:
+                    s = few_step.get_dpm_hypo_sampler(
+                        sde, model, params, observation.shape, hypo_num,
+                        n_steps=n_fs, eps=sampling_eps, denoise=dn)
+                    print(f"[sampler] tabled DPM-Solver++(2M) imputation, "
+                          f"{n_fs} steps")
+                _, multihypo = s(kh, observation, mask)
         else:
             # ScoreSDE imputation inside the reverse sampler; hypotheses via
             # vmap (replaces the reference's sequential loop, ref demo.py:
@@ -407,9 +456,9 @@ def main(args):
                     multihypo = s(kh, observation, mask)
                     print("[sampler] pallas single-dispatch multi-hypothesis "
                           "imputation path")
-                except Exception as e:
-                    print(f"[sampler] pallas unavailable ({type(e).__name__}); "
-                          f"using XLA scan")
+                except _KERNEL_FALLBACK_ERRORS as e:
+                    print(f"[sampler] pallas unavailable ({type(e).__name__}: "
+                          f"{e}); using XLA scan")
             if multihypo is None:
                 sampler = sampling_lib.get_sampling_fn(
                     config, sde, observation.shape, score_fn, inverse_scaler=None,
@@ -497,9 +546,9 @@ def main(args):
                         sde, model, params, shape, eps=eps,
                         denoise=config.sampling.noise_removal,
                         probability_flow=True)
-                except Exception as e:  # noqa: BLE001
+                except _KERNEL_FALLBACK_ERRORS as e:
                     print(f"[ode] fast decode unavailable "
-                          f"({type(e).__name__}); generic scan")
+                          f"({type(e).__name__}: {e}); generic scan")
             return sampling_lib.get_sampling_fn(config, sde, shape, score_fn,
                                                 inverse_scaler=None, eps=eps)
 

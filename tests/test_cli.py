@@ -192,6 +192,33 @@ def test_demo_completion2(workdir):
     assert "MPJPE" in out
 
 
+def test_demo_completion2_few_step_samplers(workdir):
+    """--task completion2 --sampler ddim/dpm: the few-step masked
+    imputation serving mode (ref sampling.py:410-427 at 10-50x fewer NFE)
+    drives the completion protocol end-to-end. On CPU the Pallas DDIM
+    imputation kernel is skipped and the tabled XLA path serves."""
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "completion2", "--sampler", "ddim", "--sampler-steps", "8",
+        "--hypo", "2", "--part", "legs",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--file-path", workdir["toy"],
+        "--output-path", workdir["out"]])
+    assert "tabled DDIM imputation, 8 steps" in out and "MPJPE" in out
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "completion2", "--sampler", "dpm", "--sampler-steps", "8",
+        "--hypo", "2", "--part", "legs",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--file-path", workdir["toy"],
+        "--output-path", workdir["out"]])
+    assert "DPM-Solver++(2M) imputation, 8 steps" in out and "MPJPE" in out
+
+
 def test_demo_generation_ode_method(workdir):
     """sampling.method='ode' generation (ref sampling.py:471-542): routes
     through the PF-ODE sampler (RK4 Pallas kernel on TPU; adaptive RK45

@@ -102,3 +102,120 @@ def test_pallas_ddim_quant_runs(small):
                                 interpret=True, quant="int8", act_amax=amax)
     nfe, x = s(jax.random.PRNGKey(1))
     assert nfe == 6 and bool(jnp.isfinite(x).all())
+
+
+# ---------------------------------------------------------------------------
+# Masked imputation (few-step completion serving; ref sampling.py:410-427)
+# ---------------------------------------------------------------------------
+
+def _obs_mask(shape):
+    obs = 0.3 * jax.random.normal(jax.random.PRNGKey(5), shape)
+    mask = jnp.zeros(shape).at[:, 10:30].set(1.0)
+    return obs, mask
+
+
+@pytest.mark.parametrize("builder", [get_ddim_sampler, get_dpm_sampler])
+def test_few_step_imputation_pins_observed_dims(small, builder):
+    """After the final x0 projection the observed dims sit within the
+    eps-level re-noise band of the observation (the reference pastes them
+    exactly afterwards, ref run/completion.py:205)."""
+    model, params = small
+    sde = SubVPSDE(N=1000)
+    shape = (8, DIM)
+    obs, mask = _obs_mask(shape)
+    nfe, x = builder(sde, model, params, shape, n_steps=8,
+                     imputation=True)(jax.random.PRNGKey(1), obs, mask)
+    assert nfe == 9 and bool(jnp.isfinite(x).all())
+    # subVP marginal std at eps=1e-3 is ~2e-4 of the data scale
+    err = float(jnp.max(jnp.abs((x - obs) * mask)))
+    assert err < 1e-2, err
+    # unobserved dims were actually sampled, not copied
+    assert float(jnp.max(jnp.abs(x * (1 - mask)))) > 0.01
+
+
+def test_pallas_ddim_imputation_matches_xla_rows(small):
+    """Injected noise slabs (kernel order imput_c, em, imput_p) through the
+    Pallas DDIM+imputation path vs a hand-rolled XLA twin over the same
+    tables: the kernel derives its imputation columns from the overridden
+    DDIM timesteps, so both must integrate identical rows."""
+    from dposer_tpu.diffusion.fast_sampler import (_imputation_tables,
+                                                   _labels_for,
+                                                   make_fast_forward,
+                                                   precompute_time_tables)
+
+    model, params = small
+    sde = SubVPSDE(N=1000)
+    shape = (8, DIM)
+    n_steps = 6
+    obs, mask = _obs_mask(shape)
+    z0 = jax.random.normal(jax.random.PRNGKey(2), shape)
+    taus, cx, cout, _ = ddim_tables(sde, n_steps, 1e-3, model, params,
+                                    denoise=True)
+    n_rows = int(taus.shape[0])
+    noise = jax.random.normal(jax.random.PRNGKey(3), (n_rows, 3, *shape))
+
+    tprojs, _ = precompute_time_tables(model, params, _labels_for(sde, taus))
+    fwd = make_fast_forward(model, params, tprojs, None)
+    mc, istd = _imputation_tables(sde, taus)
+
+    x = z0
+    for i in range(n_rows):
+        x = x * (1 - mask) + (mc[i] * obs + istd[i] * noise[i, 0]) * mask
+        x_mean = cx[i] * x + cout[i] * fwd(x, i)
+        # cnoise = 0 (slab noise[i, 1] multiplies zero); post-predictor impute
+        x = x_mean * (1 - mask) + (mc[i] * obs + istd[i] * noise[i, 2]) * mask
+    ref = x_mean  # kernel denoise=True returns the LAST row's x_mean
+
+    pal = get_pallas_ddim_sampler(sde, model, params, shape, n_steps=n_steps,
+                                  interpret=True, imputation=True)
+    nfe, out = pal(jax.random.PRNGKey(0), observation=obs, mask=mask, z=z0,
+                   noise=noise)
+    assert nfe == n_rows
+    ref_np = np.asarray(ref)
+    scale = max(1.0, np.abs(ref_np).max())
+    err = np.abs(np.asarray(out) - ref_np).max() / scale
+    # bf16 kernel matmuls vs fp32 XLA twin over a deterministic short horizon
+    assert err < 5e-2, err
+
+
+def test_hypo_samplers_shapes_and_decorrelation(small):
+    """[B, H, D] contract; hypotheses differ on unobserved dims and agree
+    (to re-noise tolerance) on observed ones."""
+    from dposer_tpu.diffusion.few_step import (get_ddim_hypo_sampler,
+                                               get_dpm_hypo_sampler,
+                                               get_pallas_ddim_hypo_sampler)
+
+    model, params = small
+    sde = SubVPSDE(N=1000)
+    shape = (4, DIM)
+    obs, mask = _obs_mask(shape)
+    for build in (lambda: get_ddim_hypo_sampler(sde, model, params, shape, 3,
+                                                n_steps=6),
+                  lambda: get_dpm_hypo_sampler(sde, model, params, shape, 3,
+                                               n_steps=6),
+                  lambda: get_pallas_ddim_hypo_sampler(sde, model, params,
+                                                       shape, 3, n_steps=6,
+                                                       interpret=True)):
+        nfe, out = build()(jax.random.PRNGKey(1), obs, mask)
+        assert out.shape == (4, 3, DIM)
+        m = mask[:, None]
+        assert float(jnp.max(jnp.abs((out - obs[:, None]) * m))) < 1e-2
+        spread = jnp.std(out * (1 - m), axis=1).max()
+        assert float(spread) > 1e-3  # hypotheses decorrelate
+
+
+def test_pallas_ddim_mixed_precision_threads_imputation(small):
+    """bf16_tail_steps head/tail composition forwards observation/mask to
+    both kernel dispatches."""
+    model, params = small
+    sde = SubVPSDE(N=1000)
+    shape = (8, DIM)
+    obs, mask = _obs_mask(shape)
+    amax = np.array([4.0, 3.0, 3.0, 4.0, 3.0, 5.0], np.float32)
+    s = get_pallas_ddim_sampler(sde, model, params, shape, n_steps=8,
+                                interpret=True, imputation=True,
+                                quant="int8", act_amax=amax,
+                                bf16_tail_steps=2)
+    nfe, x = s(jax.random.PRNGKey(1), observation=obs, mask=mask)
+    assert nfe == 9 and bool(jnp.isfinite(x).all())
+    assert float(jnp.max(jnp.abs((x - obs) * mask))) < 5e-2

@@ -228,3 +228,31 @@ def test_pallas_hypo_single_dispatch_matches_loop(setup):
                     noise=noise_t[:, :, h * BATCH:(h + 1) * BATCH])
         np.testing.assert_array_equal(out[:, h], np.asarray(xh),
                                       err_msg=f"hypo {h}")
+
+
+def test_vmem_refusal_is_a_clean_fallback(setup):
+    """The langevin whole-batch widening refuses over-budget batches with
+    ValueError BEFORE any kernel work, and the CLI routing's fallback
+    tuple catches exactly that class (plus NotImplementedError for
+    out-of-scope configs) — so a genuine Mosaic/runtime bug can no longer
+    hide in a broad except (VERDICT r4 item 5)."""
+    from run.common import KERNEL_FALLBACK_ERRORS
+
+    model, params, sde, *_ = setup
+    # 200k rows x 128 padded dims x fp32 x (1 + n_x_bufs) blows the
+    # 100 MiB budget once langevin widens the block to the whole batch
+    with pytest.raises(ValueError, match="VMEM"):
+        get_pallas_em_sampler(sde, model, params, (200_000, DIM), eps=1e-3,
+                              corrector="langevin", rng_mode="kernel",
+                              interpret=True)
+    try:
+        get_pallas_em_sampler(sde, model, params, (200_000, DIM), eps=1e-3,
+                              corrector="langevin", rng_mode="kernel",
+                              interpret=True)
+    except KERNEL_FALLBACK_ERRORS:
+        pass  # the CLI paths catch this and fall back to the XLA sampler
+    # out-of-scope corrector refuses with NotImplementedError (also caught)
+    with pytest.raises(NotImplementedError):
+        get_pallas_em_sampler(sde, model, params, (8, DIM), eps=1e-3,
+                              corrector="ald", interpret=True)
+    assert KERNEL_FALLBACK_ERRORS == (ValueError, NotImplementedError)
