@@ -112,14 +112,24 @@ def _make_kernel(n_steps: int, n_blocks: int, hidden: int, n_tp_pad: int):
 def get_pallas_likelihood_fn(sde: SDE, model: ScoreModelFC, params,
                              shape: Tuple[int, ...], n_steps: int = 100,
                              hutchinson_type: str = "Rademacher",
-                             eps: float = 1e-5, interpret: bool = False):
+                             eps: float = 1e-5, interpret: bool = False,
+                             mesh=None):
     """Build the single-kernel likelihood.
 
     ``likelihood_fn(key, data [B, D]) -> (bpd [B], z [B, D], nfe)`` — the
     ``get_likelihood_fn`` contract (nfe = static 4*n_steps). Single-block
     only (the protocol batch is 50; rows pad to 128).
+
+    ``mesh`` (multi-device): shard_map the single-device kernel over the
+    mesh's batch shards — likelihood rows are independent, so
+    data-parallel sharding is exact; per-shard Hutchinson draws
+    decorrelate via ``fold_in(axis_index)``. Lifts the single-block row
+    cap to ``1024 * n_devices``. Covered by ``dryrun_multichip``.
     """
     batch, dim = shape
+    if mesh is not None and mesh.devices.size > 1:
+        return _sharded_likelihood_fn(sde, model, params, shape, n_steps,
+                                      hutchinson_type, eps, interpret, mesh)
     hidden = model.hidden_dim
     n_blocks = model.n_blocks
     M = n_steps
@@ -204,5 +214,39 @@ def get_pallas_likelihood_fn(sde: SDE, model: ScoreModelFC, params,
         prior_logp = sde.prior_logp(z)
         bpd = -(prior_logp + delta_logp) / _math.log(2) / n_dim
         return bpd, z, 4 * M
+
+    return likelihood_fn
+
+
+def _sharded_likelihood_fn(sde, model, params, shape, n_steps,
+                           hutchinson_type, eps, interpret, mesh):
+    """shard_map the single-device likelihood kernel over batch shards."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.sharding import DATA_AXIS
+
+    batch, dim = shape
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} must be divisible by the mesh size "
+                         f"{n_dev} for the pallas sharded likelihood")
+    inner = get_pallas_likelihood_fn(
+        sde, model, params, (batch // n_dev, dim), n_steps=n_steps,
+        hutchinson_type=hutchinson_type, eps=eps, interpret=interpret,
+        mesh=None)
+    axis = DATA_AXIS
+
+    def shard_fn(key, data):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        bpd, z, _ = inner(key, data)
+        return bpd, z
+
+    sharded = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(), P(axis, None)),
+        out_specs=(P(axis), P(axis, None)), check_vma=False))
+
+    def likelihood_fn(key, data):
+        bpd, z = sharded(key, data)
+        return bpd, z, 4 * n_steps
 
     return likelihood_fn

@@ -114,14 +114,23 @@ def get_pallas_ode_sampler(sde: SDE, model: ScoreModelFC, params,
                            shape: Tuple[int, ...], n_steps: int = 125,
                            eps: float = 1e-3, denoise: bool = False,
                            interpret: bool = False, gn: str = "auto",
-                           batch_block: int = 512):
+                           batch_block: int = 512, mesh=None):
     """Build the single-kernel RK4 PF-ODE sampler.
 
     ``sampler(key, z=None) -> (nfe, x)`` — the ``get_ode_sampler`` /
     ``get_fast_ode_sampler`` contract (nfe = static 4*n_steps). Arbitrary
     batch sizes run through the same batch-block grid as ``fused_em``.
+
+    ``mesh`` (multi-device): shard_map the single-device kernel over the
+    mesh's batch shards — the PF-ODE is row-independent, so data-parallel
+    sharding is exact; per-shard prior draws decorrelate via
+    ``fold_in(axis_index)`` (the same layout as ``fused_em``'s
+    ``_sharded_sampler``). Covered by ``dryrun_multichip``.
     """
     batch, dim = shape
+    if mesh is not None and mesh.devices.size > 1:
+        return _sharded_ode_sampler(sde, model, params, shape, n_steps, eps,
+                                    denoise, interpret, gn, batch_block, mesh)
     hidden = model.hidden_dim
     n_blocks = model.n_blocks
     M = n_steps
@@ -228,5 +237,45 @@ def get_pallas_ode_sampler(sde: SDE, model: ScoreModelFC, params,
         x0p = jnp.zeros((batch_p, dim_p), jnp.float32).at[:batch, :dim].set(x0)
         out = call(coefs, dcoefs, x0p, *operands)
         return 4 * M, out[:batch, :dim]
+
+    return sampler
+
+
+def _sharded_ode_sampler(sde, model, params, shape, n_steps, eps, denoise,
+                         interpret, gn, batch_block, mesh):
+    """shard_map the single-device RK4 kernel over the mesh's batch shards."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.sharding import DATA_AXIS
+
+    batch, dim = shape
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} must be divisible by the mesh size "
+                         f"{n_dev} for the pallas sharded ODE sampler")
+    inner = get_pallas_ode_sampler(
+        sde, model, params, (batch // n_dev, dim), n_steps=n_steps, eps=eps,
+        denoise=denoise, interpret=interpret, gn=gn, batch_block=batch_block,
+        mesh=None)
+    axis = DATA_AXIS
+    cache = {}
+
+    def build(has_z):
+        def shard_fn(key, *arrs):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            return inner(key, z=arrs[0] if has_z else None)[1]
+
+        specs = [P()] + ([P(axis, None)] if has_z else [])
+        return jax.jit(jax.shard_map(shard_fn, mesh=mesh,
+                                     in_specs=tuple(specs),
+                                     out_specs=P(axis, None),
+                                     check_vma=False))
+
+    def sampler(key, z=None):
+        has_z = z is not None
+        if has_z not in cache:
+            cache[has_z] = build(has_z)
+        out = cache[has_z](key, *( (z,) if has_z else () ))
+        return 4 * n_steps, out
 
     return sampler
