@@ -141,23 +141,30 @@ class AMASSDataset:
                     f"normalization stats missing at {path} and no train "
                     f"split to compute them from ({e}); prepare the train "
                     f"split or copy the reference's cached stats") from None
-        if self.min_max:
-            stats = {
-                "min_poses": poses.min(0), "max_poses": poses.max(0),
-                "min_shapes": shapes.min(0) if shapes is not None else None,
-                "max_shapes": shapes.max(0) if shapes is not None else None,
-            }
-        else:
-            stats = {
-                "mean_poses": poses.mean(0),
-                # torch.std defaults to Bessel correction (ddof=1), ref AMASS.py:110
-                "std_poses": poses.std(0, ddof=1),
-                "mean_shapes": shapes.mean(0) if shapes is not None else None,
-                "std_shapes": shapes.std(0, ddof=1) if shapes is not None else None,
-            }
-        np.savez(os.path.splitext(path)[0] + ".npz",
-                 **{k: v for k, v in stats.items() if v is not None})
-        return stats
+        # compute and cache BOTH families from the same train tensors — the
+        # reference ships all four files and PoseNormalizer loads both, so a
+        # fresh machine must be able to derive the full set in one pass
+        minmax_stats = {
+            "min_poses": poses.min(0), "max_poses": poses.max(0),
+            "min_shapes": shapes.min(0) if shapes is not None else None,
+            "max_shapes": shapes.max(0) if shapes is not None else None,
+        }
+        zscore_stats = {
+            "mean_poses": poses.mean(0),
+            # torch.std defaults to Bessel correction (ddof=1), ref AMASS.py:110
+            "std_poses": poses.std(0, ddof=1),
+            "mean_shapes": shapes.mean(0) if shapes is not None else None,
+            "std_shapes": shapes.std(0, ddof=1) if shapes is not None else None,
+        }
+        train_dir = os.path.dirname(path)
+        for suffix, st in (("_normalize1", minmax_stats),
+                           ("_normalize2", zscore_stats)):
+            out_path = os.path.join(train_dir, self.rot_rep + suffix + ".npz")
+            if not os.path.exists(out_path) and not os.path.exists(
+                    os.path.join(train_dir, self.rot_rep + suffix + ".pt")):
+                np.savez(out_path,
+                         **{k: v for k, v in st.items() if v is not None})
+        return minmax_stats if self.min_max else zscore_stats
 
     def _normalize_in_place(self):
         stats = self._load_or_compute_stats()
