@@ -190,21 +190,45 @@ def main():
     body_x = BodyModel(args.smplx_path, model_type="smplx",
                        batch_size=args.comp_batch, num_betas=10)
     evaler = Evaler(body_model=body_x, part="left_leg")
-    for name, kw in (("completion pc-1000 bf16", {}),
-                     ("completion pc-1000 int8", quant_kw("none")),
-                     ("completion pc-1000 int8+bf16-tail-50",
-                      dict(bf16_tail_steps=50, **quant_kw("none"))),
-                     ("completion pc-1000 int8+bf16-tail-100",
-                      dict(bf16_tail_steps=100, **quant_kw("none"))),
-                     ("completion pc-1000 int8+bf16-tail-200",
-                      dict(bf16_tail_steps=200, **quant_kw("none"))),
-                     ("completion pc-1000 int8-chan", quant_kw_pc("none"))):
+
+    def comp_builders():
+        for name, kw in (("completion pc-1000 bf16", {}),
+                         ("completion pc-1000 int8", quant_kw("none")),
+                         ("completion pc-1000 int8+bf16-tail-50",
+                          dict(bf16_tail_steps=50, **quant_kw("none"))),
+                         ("completion pc-1000 int8+bf16-tail-100",
+                          dict(bf16_tail_steps=100, **quant_kw("none"))),
+                         ("completion pc-1000 int8+bf16-tail-200",
+                          dict(bf16_tail_steps=200, **quant_kw("none"))),
+                         ("completion pc-1000 int8-chan", quant_kw_pc("none"))):
+            yield name, 1000, (lambda kw=kw: get_pallas_em_hypo_sampler(
+                sde, model, params, (args.comp_batch, D), args.comp_hypo,
+                eps=EPS, denoise=True, rng_mode="kernel", **kw))
+        # few-step completion serving (VERDICT r4 item 2): masked DDIM
+        # through the fused kernel (+ per-channel int8), DPM XLA twin
+        for n in (50, 20, 10):
+            yield (f"completion ddim-{n} bf16", n,
+                   lambda n=n: _wrap_hypo(few_step.get_pallas_ddim_hypo_sampler(
+                       sde, model, params, (args.comp_batch, D),
+                       args.comp_hypo, n_steps=n, eps=EPS,
+                       rng_mode="kernel")))
+            yield (f"completion ddim-{n} int8-chan", n,
+                   lambda n=n: _wrap_hypo(few_step.get_pallas_ddim_hypo_sampler(
+                       sde, model, params, (args.comp_batch, D),
+                       args.comp_hypo, n_steps=n, eps=EPS,
+                       rng_mode="kernel", **quant_kw_pc("none"))))
+        yield ("completion dpm-20 (xla)", 20,
+               lambda: _wrap_hypo(few_step.get_dpm_hypo_sampler(
+                   sde, model, params, (args.comp_batch, D), args.comp_hypo,
+                   n_steps=20, eps=EPS)))
+
+    def _wrap_hypo(s):  # few-step hypo samplers return (nfe, hypos)
+        return lambda key, o, m: s(key, o, m)[1]
+
+    for name, nfe, build in comp_builders():
         if not selected(name):
             continue
-        s = get_pallas_em_hypo_sampler(sde, model, params,
-                                       (args.comp_batch, D), args.comp_hypo,
-                                       eps=EPS, denoise=True,
-                                       rng_mode="kernel", **kw)
+        s = build()
         hypos = s(jax.random.PRNGKey(13), obs, mask)
         jax.block_until_ready(hypos)
         t0 = time.perf_counter()
@@ -214,12 +238,20 @@ def main():
         preds = normalizer.offline_denormalize(hypos, to_axis=True)
         res = evaler.multi_eval_bodys(preds, jnp.asarray(test))
         mpjpe = float(np.mean(res["mpjpe_body"]))
-        rows.append(dict(mode=name, nfe=1000, mpjpe=mpjpe, wall_s=dt))
-        print(f"{name:24s} MPJPE {mpjpe:.2f} mm  wall {dt:.2f}s", flush=True)
+        rows.append(dict(mode=name, nfe=nfe, mpjpe=mpjpe, wall_s=dt))
+        print(f"{name:32s} nfe {nfe:5d}  MPJPE {mpjpe:.2f} mm  "
+              f"wall {dt:.2f}s", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(dict(ckpt=args.ckpt_path, n_samples=args.n_samples,
+                       # protocol metadata so artifact consumers (pins,
+                       # cross-file comparisons) can assert seeds match
+                       protocol=dict(
+                           seed=args.seed, eps=EPS, gen_lik_seed=7,
+                           calib_seed=999, comp_batch=args.comp_batch,
+                           comp_hypo=args.comp_hypo, comp_part="left_leg",
+                           comp_mask_seed=11, comp_sample_seeds=[13, 14]),
                        rows=rows), f, indent=1)
     print(f"wrote {args.out}")
 

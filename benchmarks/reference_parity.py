@@ -99,6 +99,7 @@ def load_reference_modules():
     _stub("pytorch3d.structures", Meshes=object)
     if REFERENCE not in sys.path:
         sys.path.append(REFERENCE)
+    import lib.algorithms.advanced.likelihood as ref_likelihood
     import lib.algorithms.advanced.model as ref_model  # noqa: E501
     import lib.algorithms.advanced.sampling as ref_sampling
     import lib.algorithms.advanced.sde_lib as ref_sde_lib
@@ -107,7 +108,7 @@ def load_reference_modules():
     import lib.utils.metric as ref_metric
 
     return (ref_model, ref_sampling, ref_sde_lib, ref_ema, ref_amass,
-            ref_metric)
+            ref_metric, ref_likelihood)
 
 
 def write_torch_stats(torch, src_dir, dst_dir):
@@ -139,8 +140,19 @@ def main():
                          "seeds per side; report APD mean +- spread")
     ap.add_argument("--part", type=str, default="left_leg")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lik-batch", type=int, default=50)
+    ap.add_argument("--x64", action="store_true",
+                    help="precision control for the likelihood protocol: "
+                         "integrate OUR ODE state in float64 (the "
+                         "reference's scipy solve_ivp always does) — the "
+                         "fp32-default delta of ~0.035 bits/dim collapses "
+                         "into the within-framework Hutchinson spread")
+    ap.add_argument("--lik-out", type=str, default=None,
+                    help="optional JSON artifact for the likelihood/"
+                         "interpolation protocol numbers")
     ap.add_argument("--protocols", type=str, default="generation,completion",
-                    help="comma subset of generation,completion,motion,fitting")
+                    help="comma subset of generation,completion,likelihood,"
+                         "interpolation,motion,fitting")
     ap.add_argument("--motion-fragments", type=int, default=2)
     ap.add_argument("--motion-dir", type=str, default="data/he_frags")
     ap.add_argument("--motion-body", type=str,
@@ -163,6 +175,8 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
     import torch
@@ -181,7 +195,7 @@ def main():
     from dposer_tpu.data.amass import N_POSES
 
     (ref_model, ref_sampling, ref_sde_lib, ref_ema, ref_amass,
-     ref_metric) = load_reference_modules()
+     ref_metric, ref_likelihood) = load_reference_modules()
 
     config = import_configs("configs.subvp.amass_scorefc_continuous.get_config")
     config.sampling.corrector = "langevin"  # metrics protocol, ref demo.py:142
@@ -189,19 +203,27 @@ def main():
     torch.manual_seed(args.seed)
 
     # ---- export: JAX train state -> release .pth schema -------------------
-    pth = "/tmp/dposer_parity_export.pth"
-    state = restore_train_state(args.ckpt_path)
-    # the EMA shadow params live under ema.shadow_params (utils/checkpoint
-    # save_train_state layout); exporting them is what makes "same weights"
-    # literal — our load_params_for_inference serves EMA params, and the
-    # reference's demo/completion load protocol does ema.copy_to
-    ema_state = state.get("ema")
-    ema_params = ema_state.get("shadow_params") if isinstance(ema_state, dict) \
-        else None
-    save_torch_checkpoint(pth, state["params"], ema_params=ema_params,
-                          step=int(state.get("step", 0)))
-    print(f"exported {args.ckpt_path} -> {pth} "
-          f"(ema shadow: {'yes' if ema_params is not None else 'RAW FALLBACK'})")
+    if args.ckpt_path.endswith(".pth"):
+        # already the release schema (e.g. the pinned
+        # artifacts/trained_r5/axis-zscore-400k-synth.pth): both sides load
+        # it directly — the export step has nothing to do
+        pth = args.ckpt_path
+        state = None
+        print(f"using release-schema checkpoint {pth} directly")
+    else:
+        pth = "/tmp/dposer_parity_export.pth"
+        state = restore_train_state(args.ckpt_path)
+        # the EMA shadow params live under ema.shadow_params (utils/checkpoint
+        # save_train_state layout); exporting them is what makes "same weights"
+        # literal — our load_params_for_inference serves EMA params, and the
+        # reference's demo/completion load protocol does ema.copy_to
+        ema_state = state.get("ema")
+        ema_params = ema_state.get("shadow_params") \
+            if isinstance(ema_state, dict) else None
+        save_torch_checkpoint(pth, state["params"], ema_params=ema_params,
+                              step=int(state.get("step", 0)))
+        print(f"exported {args.ckpt_path} -> {pth} (ema shadow: "
+              f"{'yes' if ema_params is not None else 'RAW FALLBACK'})")
 
     # ---- the reference's own load protocol (ref demo.py:102-118) ----------
     POSE_DIM = 3
@@ -361,12 +383,224 @@ def main():
                       f"ours: {ob.mean():.2f} +- {ob.std():.2f} mm   "
                       f"delta of means {abs(ra.mean() - ob.mean()) / ra.mean() * 100:.2f}%")
 
+    # ======== likelihood / bits-per-dim (ref likelihood.py:40-113) ==========
+    lik_json = {}
+    if "likelihood" in protocols:
+        from dposer_tpu.diffusion.likelihood import (get_fast_likelihood_fn,
+                                                     get_likelihood_fn)
+
+        Bl = args.lik_batch
+        test = np.load(os.path.join(args.dataset_folder, args.version, "test",
+                                    "pose_body.npy"))[:Bl].astype(np.float32)
+        data_n = normalizer.offline_normalize(jnp.asarray(test),
+                                              from_axis=True)
+        if args.x64:
+            data_n = jnp.asarray(data_n, jnp.float64)
+        data_t = r_norm.offline_normalize(torch.from_numpy(test).to(device),
+                                          from_axis=True)
+        np.testing.assert_allclose(np.asarray(data_n, np.float32),
+                                   data_t.cpu().numpy(), atol=1e-5)
+
+        print(f"\n[likelihood/bpd, {Bl} test poses, Hutchinson-Rademacher, "
+              f"scipy-RK45 (ref) vs on-device RK45 / tabled RK4 (ours)]")
+        # the reference's own scipy-RK45 likelihood on the exported .pth
+        # (the run.train eval path, ref train.py:279)
+        r_lik = ref_likelihood.get_likelihood_fn(r_sde, lambda x: x)
+        torch.manual_seed(args.seed)
+        bpd_r, z_r, nfe_r = r_lik(r_model, data_t)
+        bpd_r = bpd_r.cpu().numpy()
+        print(f"reference pipeline (torch, exported ckpt): "
+              f"bpd {bpd_r.mean():.4f} +- {bpd_r.std():.4f}  nfe {nfe_r}")
+        # within-framework control: the SAME reference pipeline with a
+        # different Hutchinson draw — the scale against which the
+        # cross-framework delta-of-means must be read (bpd is an unbiased
+        # ESTIMATE; frameworks draw different Rademacher streams)
+        torch.manual_seed(args.seed + 1)
+        bpd_r2, _, _ = r_lik(r_model, data_t)
+        bpd_r2 = bpd_r2.cpu().numpy()
+        print(f"reference, 2nd Hutchinson seed (control):   "
+              f"bpd {bpd_r2.mean():.4f} +- {bpd_r2.std():.4f}"
+              f"   within-ref delta {abs(bpd_r2.mean() - bpd_r.mean()):.4f} "
+              f"bits/dim")
+
+        # ours #1: adaptive on-device RK45 oracle (diffusion/likelihood.py)
+        o_lik = get_likelihood_fn(sde, score_fn)
+        bpd_a, z_a, nfe_a = o_lik(jax.random.PRNGKey(args.seed + 31), data_n)
+        bpd_a = np.asarray(bpd_a)
+        print(f"ours adaptive RK45 (same weights):          "
+              f"bpd {bpd_a.mean():.4f} +- {bpd_a.std():.4f}  nfe {int(nfe_a)}"
+              f"   delta {abs(bpd_a.mean() - bpd_r.mean()):.4f} bits/dim")
+
+        # ours #2: fixed-grid tabled RK4 fast path
+        f_lik = get_fast_likelihood_fn(sde, model, params, n_steps=250,
+                                       eps=1e-5)
+        bpd_f, _, nfe_f = f_lik(jax.random.PRNGKey(args.seed + 31), data_n)
+        bpd_f = np.asarray(bpd_f)
+        print(f"ours tabled RK4 (250 steps):                "
+              f"bpd {bpd_f.mean():.4f} +- {bpd_f.std():.4f}  nfe {int(nfe_f)}"
+              f"   delta {abs(bpd_f.mean() - bpd_r.mean()):.4f} bits/dim")
+
+        lik_json["likelihood"] = dict(
+            batch=Bl, bpd_reference=float(bpd_r.mean()),
+            bpd_reference_seed2=float(bpd_r2.mean()),
+            bpd_ours_adaptive=float(bpd_a.mean()),
+            bpd_ours_rk4=float(bpd_f.mean()),
+            bpd_std_reference=float(bpd_r.std()),
+            latent_mean_abs_delta=float(
+                np.abs(np.asarray(z_a) - z_r.cpu().numpy()).mean()))
+        # ours #3: the fused Pallas likelihood KERNEL — TPU only (its
+        # documented quality band is +-0.05 bits/dim vs the oracle,
+        # PERFORMANCE.md "ODE paths"); skipped on CPU hosts
+        if jax.default_backend() == "tpu":
+            from dposer_tpu.ops.pallas.fused_lik import \
+                get_pallas_likelihood_fn
+
+            k_lik = get_pallas_likelihood_fn(sde, model, params, (Bl, D),
+                                             n_steps=100, eps=1e-5)
+            bpd_k, _, _ = k_lik(jax.random.PRNGKey(args.seed + 31), data_n)
+            bpd_k = np.asarray(bpd_k)
+            print(f"ours fused Pallas kernel (bf16, 100 st): "
+                  f"bpd {bpd_k.mean():.4f} +- {bpd_k.std():.4f}"
+                  f"   delta {abs(bpd_k.mean() - bpd_r.mean()):.4f} bits/dim")
+            lik_json["likelihood"]["bpd_ours_kernel"] = float(bpd_k.mean())
+        else:
+            print("ours fused Pallas kernel: skipped (CPU host; band pinned "
+                  "vs the RK4 twin in tests/test_fast_ode.py)")
+
+    # ======== interpolation (ref demo.py:412-500) ===========================
+    if "interpolation" in protocols:
+        from dposer_tpu.diffusion.likelihood import get_likelihood_fn
+        from dposer_tpu.diffusion.sampling import get_ode_sampler
+        from dposer_tpu.ops.smoothing import slerp_interpolation
+
+        chosen_idx = [1, 10, 11, 12, 17, 14]  # ref demo.py:418
+        test = np.load(os.path.join(args.dataset_folder, args.version, "test",
+                                    "pose_body.npy")).astype(np.float32)
+        anchors = test[chosen_idx]
+        A = len(chosen_idx)
+        anchors_n = normalizer.offline_normalize(jnp.asarray(anchors),
+                                                 from_axis=True)
+        anchors_t = r_norm.offline_normalize(
+            torch.from_numpy(anchors).to(device), from_axis=True)
+
+        print(f"\n[interpolation, {A} anchors: likelihood-ODE encode -> "
+              f"slerp -> PF-ODE decode (ref demo.py:412-500)]")
+        # encode on both sides (the x-path of the augmented ODE is the
+        # deterministic PF-ODE; Hutchinson noise only drives the logp lane
+        # + adaptive step control)
+        r_lik = ref_likelihood.get_likelihood_fn(r_sde, lambda x: x)
+        torch.manual_seed(args.seed)
+        _, z_r, _ = r_lik(r_model, anchors_t)
+        z_r = z_r.cpu().numpy()
+        o_lik = get_likelihood_fn(sde, score_fn)
+        _, z_o, _ = o_lik(jax.random.PRNGKey(args.seed + 41), anchors_n)
+        z_o = np.asarray(z_o)
+        z_scale = np.abs(z_r).mean()
+        z_delta = np.abs(z_o - z_r).mean()
+        print(f"latent agreement: mean|z_ours - z_ref| = {z_delta:.4f} "
+              f"(latent scale {z_scale:.4f}, rel {z_delta / z_scale * 100:.2f}%)")
+
+        # decoders: reference's own scipy-RK45 ODE sampler vs ours
+        r_ode = ref_sampling.get_ode_sampler(
+            r_sde, (A, D), lambda x: x, denoise=False, eps=1e-3,
+            device=device)
+        o_ode = get_ode_sampler(sde, (A, D), score_fn, denoise=False,
+                                eps=1e-3)
+
+        # (a) round trip: encode -> decode ~= identity, each side through
+        # its own pipeline
+        with torch.no_grad():
+            _, x_r_rt = r_ode(r_model, z=torch.from_numpy(z_r).to(device))
+        x_r_rt = x_r_rt.cpu().numpy()
+        _, x_o_rt = o_ode(jax.random.PRNGKey(0), z=jnp.asarray(z_o))
+        x_o_rt = np.asarray(x_o_rt)
+        rt_ref = np.abs(x_r_rt - anchors_t.cpu().numpy()).mean()
+        rt_ours = np.abs(x_o_rt - np.asarray(anchors_n)).mean()
+        print(f"round-trip |decode(encode(x)) - x| (normalized space): "
+              f"reference {rt_ref:.4f}   ours {rt_ours:.4f}")
+
+        # (b) cross-framework decode: the SAME latents (ours' encode)
+        # through the reference's decoder vs ours — both deterministic
+        # PF-ODE solves, so pointwise comparable
+        with torch.no_grad():
+            _, x_r_cross = r_ode(r_model, z=torch.from_numpy(z_o).to(device))
+        x_r_cross = x_r_cross.cpu().numpy()
+        cross = np.abs(x_r_cross - x_o_rt).mean()
+        scale = np.abs(x_o_rt).mean()
+        print(f"cross-framework decode of the same latents: mean|delta| = "
+              f"{cross:.4f} (pose scale {scale:.4f}, "
+              f"rel {cross / scale * 100:.2f}%)")
+
+        # (c) slerp path between the first two anchors, decoded by BOTH
+        # frameworks (the ref protocol's inter_frames walk)
+        K = 9
+        z_path = np.asarray(slerp_interpolation(
+            jnp.asarray(z_o[0]), jnp.asarray(z_o[1]), K + 2))[1:-1]
+        o_ode_p = get_ode_sampler(sde, (K, D), score_fn, denoise=False,
+                                  eps=1e-3)
+        _, x_o_path = o_ode_p(jax.random.PRNGKey(0), z=jnp.asarray(z_path))
+        x_o_path = np.asarray(x_o_path)
+        r_ode_p = ref_sampling.get_ode_sampler(
+            r_sde, (K, D), lambda x: x, denoise=False, eps=1e-3,
+            device=device)
+        with torch.no_grad():
+            _, x_r_path = r_ode_p(r_model,
+                                  z=torch.from_numpy(z_path).to(device))
+        x_r_path = x_r_path.cpu().numpy()
+        assert np.isfinite(x_o_path).all() and np.isfinite(x_r_path).all()
+        per_frame = np.abs(x_r_path - x_o_path).mean(axis=1)
+        # a slerped latent can land near a separatrix between mixture
+        # components, where the PF-ODE is genuinely solver-sensitive (OUR
+        # OWN decode at rtol 1e-5 vs 1e-7 moves just as much there, so it
+        # is a property of the flow, not a framework delta). Detect such
+        # frames with a tolerance-sensitivity probe and report both the
+        # full and the stable-frame statistics.
+        o_ode_tight = get_ode_sampler(sde, (K, D), score_fn, denoise=False,
+                                      eps=1e-3, rtol=1e-7, atol=1e-7)
+        _, x_o_tight = o_ode_tight(jax.random.PRNGKey(0),
+                                   z=jnp.asarray(z_path))
+        self_sens = np.abs(np.asarray(x_o_tight) - x_o_path).mean(axis=1)
+        stable = self_sens < 0.01
+        print(f"slerp path ({K} frames): cross-framework decode per-frame "
+              f"|delta| median {np.median(per_frame):.4f}, max "
+              f"{per_frame.max():.4f}; {int(stable.sum())}/{K} frames "
+              f"solver-stable (self-sensitivity < 0.01), their mean|delta| "
+              f"= {per_frame[stable].mean():.4f}; pose-space std "
+              f"{x_o_path.std():.4f} (in-distribution scale ~1)")
+        if not stable.all():
+            print(f"     separatrix frames {np.where(~stable)[0].tolist()}: "
+                  f"cross-delta {np.round(per_frame[~stable], 3).tolist()} vs "
+                  f"OWN rtol-sensitivity "
+                  f"{np.round(self_sens[~stable], 3).tolist()} — "
+                  f"flow-intrinsic, not a framework gap")
+
+        lik_json["interpolation"] = dict(
+            latent_rel_delta_pct=float(z_delta / z_scale * 100),
+            round_trip_ref=float(rt_ref), round_trip_ours=float(rt_ours),
+            cross_decode_rel_pct=float(cross / scale * 100),
+            slerp_stable_frames=int(stable.sum()), slerp_frames=K,
+            slerp_stable_mean_abs_delta=float(per_frame[stable].mean()),
+            slerp_path_median_abs_delta=float(np.median(per_frame)))
+
+    if lik_json and args.lik_out:
+        import json
+
+        os.makedirs(os.path.dirname(args.lik_out), exist_ok=True)
+        with open(args.lik_out, "w") as f:
+            json.dump(lik_json, f, indent=1)
+        print(f"wrote {args.lik_out}")
+
     # ======== motion denoising (ref motion_denoising.py:63-300) =============
     if "motion" in protocols:
         run_motion_parity(args, config, r_model, torch, np, jax, jnp)
 
     # ======== fitting / SMPLify (ref run/smplify.py:118-281) ================
     if "fitting" in protocols:
+        if state is None:
+            raise SystemExit("--protocols fitting needs an orbax train-state "
+                             "directory (it re-exports EMA params into "
+                             "model_state_dict); pass the training run's "
+                             "best_model dir, not a .pth")
         run_fitting_parity(args, state, torch, np, jax, jnp)
 
 

@@ -125,12 +125,17 @@ inline bool coplanar_tri_tri(const V3 &n, const V3 &v0, const V3 &v1,
          point_in_tri(U0, V0, V1, V2, i0, i1);
 }
 
-// Möller's interval-overlap test. Degenerate (eps-close) plane distances are
-// snapped to zero like the reference algorithm with USE_EPSILON_TEST.
-inline bool tri_tri_intersect(const V3 &v0, const V3 &v1, const V3 &v2,
-                              const V3 &u0, const V3 &u1, const V3 &u2) {
-  const V3 n1 = cross(sub(v1, v0), sub(v2, v0));
-  const Real d1 = -dot(n1, v0);
+// Möller's interval-overlap test with CALLER-SUPPLIED face planes
+// (n = cross(e1, e2), d = -dot(n, v0)). The self-intersection metric tests
+// each face against many partners, so computing every face's plane once per
+// mesh (instead of twice per candidate pair) removes the two cross products
+// and re-derivations from the pair hot path. Degenerate (eps-close) plane
+// distances are snapped to zero like the reference algorithm with
+// USE_EPSILON_TEST.
+inline bool tri_tri_intersect_planes(const V3 &v0, const V3 &v1, const V3 &v2,
+                                     const V3 &u0, const V3 &u1, const V3 &u2,
+                                     const V3 &n1, Real d1, const V3 &n2,
+                                     Real d2) {
   Real du0 = dot(n1, u0) + d1;
   Real du1 = dot(n1, u1) + d1;
   Real du2 = dot(n1, u2) + d1;
@@ -140,8 +145,6 @@ inline bool tri_tri_intersect(const V3 &v0, const V3 &v1, const V3 &v2,
   const Real du0du1 = du0 * du1, du0du2 = du0 * du2;
   if (du0du1 > 0.0 && du0du2 > 0.0) return false;
 
-  const V3 n2 = cross(sub(u1, u0), sub(u2, u0));
-  const Real d2 = -dot(n2, u0);
   Real dv0 = dot(n2, v0) + d2;
   Real dv1 = dot(n2, v1) + d2;
   Real dv2 = dot(n2, v2) + d2;
@@ -176,6 +179,17 @@ inline bool tri_tri_intersect(const V3 &v0, const V3 &v1, const V3 &v2,
   if (isect1[0] > isect1[1]) std::swap(isect1[0], isect1[1]);
   if (isect2[0] > isect2[1]) std::swap(isect2[0], isect2[1]);
   return !(isect1[1] < isect2[0] || isect2[1] < isect1[0]);
+}
+
+// Original self-contained form (computes both planes, then delegates):
+// kept for the unit test C API and one-off callers.
+inline bool tri_tri_intersect(const V3 &v0, const V3 &v1, const V3 &v2,
+                              const V3 &u0, const V3 &u1, const V3 &u2) {
+  const V3 n1 = cross(sub(v1, v0), sub(v2, v0));
+  const Real d1 = -dot(n1, v0);
+  const V3 n2 = cross(sub(u1, u0), sub(u2, u0));
+  const Real d2 = -dot(n2, u0);
+  return tri_tri_intersect_planes(v0, v1, v2, u0, u1, u2, n1, d1, n2, d2);
 }
 
 }  // namespace dposer
