@@ -86,6 +86,7 @@ def workdir(tmp_path_factory, torch, ref_model_lib, ref_ema_lib):
 
     # synthetic body model (canonical filename)
     bm_path, vids = make_synthetic_body_model(tmp / "SMPLX_NEUTRAL.npz", "smplx")
+    smpl_path, _ = make_synthetic_body_model(tmp / "SMPL_NEUTRAL.npz", "smpl")
     # vertex ids must come from a JSON for CLI use -> env var override unsupported;
     # CLIs use default smplx ids which exceed the synthetic vert count, so body
     # rendering paths will be skipped or use raw LBS joints only where needed.
@@ -99,7 +100,8 @@ def workdir(tmp_path_factory, torch, ref_model_lib, ref_ema_lib):
         f.write(TINY_CONFIG_SRC)
     return dict(tmp=tmp, data_root=str(data_root), ckpt=str(ckpt),
                 toy=str(tmp / "toy_data.npz"), motion=str(tmp / "motion.npz"),
-                bm=bm_path, out=str(out), config=str(config_py))
+                bm=bm_path, smpl=smpl_path, out=str(out),
+                config=str(config_py))
 
 
 def test_demo_generation(workdir):
@@ -190,6 +192,22 @@ def test_demo_completion2(workdir):
         "--file-path", workdir["toy"],
         "--output-path", workdir["out"]])
     assert "MPJPE" in out
+
+
+def test_demo_generation_metrics_pipelined(workdir):
+    """--metrics --metrics-chunks 4: the pipelined metrics tail (device
+    sampling/body-forward dispatched ahead, host C++ SI consuming chunks
+    in a worker thread) produces both protocol numbers end-to-end."""
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "generation", "--metrics", "--metrics-chunks", "4",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--smpl-path", workdir["smpl"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--output-path", workdir["out"]], timeout=560)
+    assert "average_pairwise_distance for 500 generated samples" in out
+    assert "self-intersections percentage for 500 generated samples" in out
 
 
 def test_demo_completion2_few_step_samplers(workdir):
