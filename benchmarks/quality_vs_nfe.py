@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--comp-batch", type=int, default=50)
     ap.add_argument("--comp-hypo", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--time-reps", type=int, default=3,
+                    help="timed steady-state calls per mode; wall = min "
+                         "(robust to multi-second axon tunnel stalls)")
     ap.add_argument("--out", type=str, default="artifacts/quality_vs_nfe.json")
     ap.add_argument("--only", type=str, default=None,
                     help="substring filter over mode names (comma-separated "
@@ -166,10 +169,16 @@ def main():
         key, sub = jax.random.split(key)
         _, x = sampler(sub)              # compile + sample
         jax.block_until_ready(x)
-        t0 = time.perf_counter()
-        _, x2 = sampler(jax.random.fold_in(sub, 1))
-        jax.block_until_ready(x2)
-        dt = time.perf_counter() - t0
+        # best-of-N timing: the axon tunnel occasionally stalls for
+        # seconds mid-call, which would poison a single-shot wall time
+        # (observed: 406 vs 2,100 poses/s for the same program); min over
+        # repeats recovers the steady-state rate within one session
+        dt = float("inf")
+        for rep in range(1, args.time_reps + 1):
+            t0 = time.perf_counter()
+            _, x2 = sampler(jax.random.fold_in(sub, rep))
+            jax.block_until_ready(x2)
+            dt = min(dt, time.perf_counter() - t0)
         axis = normalizer.offline_denormalize(x, to_axis=True)
         padded = jnp.concatenate([axis, jnp.zeros((args.n_samples, 6))], 1)
         apd = float(average_pairwise_distance(
@@ -221,6 +230,22 @@ def main():
                lambda: _wrap_hypo(few_step.get_dpm_hypo_sampler(
                    sde, model, params, (args.comp_batch, D), args.comp_hypo,
                    n_steps=20, eps=EPS)))
+        # hybrid DDIM head + exact pc tail: the stochastic late steps are
+        # what reconcile the masked block (few_step.get_hybrid_sampler
+        # docstring) — 4-25x fewer NFE than the 1000-row imputation path
+        for n_head, m_tail in ((25, 200), (25, 100), (25, 50), (10, 25)):
+            yield (f"completion hybrid-{n_head}+{m_tail} bf16",
+                   n_head + m_tail,
+                   lambda nh=n_head, mt=m_tail: _wrap_hypo(
+                       few_step.get_pallas_hybrid_hypo_sampler(
+                           sde, model, params, (args.comp_batch, D),
+                           args.comp_hypo, n_head=nh, m_tail=mt, eps=EPS,
+                           rng_mode="kernel")))
+        yield ("completion hybrid-25+100 int8-chan", 125,
+               lambda: _wrap_hypo(few_step.get_pallas_hybrid_hypo_sampler(
+                   sde, model, params, (args.comp_batch, D), args.comp_hypo,
+                   n_head=25, m_tail=100, eps=EPS,
+                   rng_mode="kernel", **quant_kw_pc("none"))))
 
     def _wrap_hypo(s):  # few-step hypo samplers return (nfe, hypos)
         return lambda key, o, m: s(key, o, m)[1]
@@ -231,10 +256,12 @@ def main():
         s = build()
         hypos = s(jax.random.PRNGKey(13), obs, mask)
         jax.block_until_ready(hypos)
-        t0 = time.perf_counter()
-        hypos = s(jax.random.PRNGKey(14), obs, mask)
-        jax.block_until_ready(hypos)
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(args.time_reps):
+            t0 = time.perf_counter()
+            hypos = s(jax.random.PRNGKey(14), obs, mask)
+            jax.block_until_ready(hypos)
+            dt = min(dt, time.perf_counter() - t0)
         preds = normalizer.offline_denormalize(hypos, to_axis=True)
         res = evaler.multi_eval_bodys(preds, jnp.asarray(test))
         mpjpe = float(np.mean(res["mpjpe_body"]))
@@ -249,6 +276,7 @@ def main():
                        # cross-file comparisons) can assert seeds match
                        protocol=dict(
                            seed=args.seed, eps=EPS, gen_lik_seed=7,
+                           time_reps=args.time_reps,
                            calib_seed=999, comp_batch=args.comp_batch,
                            comp_hypo=args.comp_hypo, comp_part="left_leg",
                            comp_mask_seed=11, comp_sample_seeds=[13, 14]),

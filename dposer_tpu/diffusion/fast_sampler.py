@@ -234,10 +234,21 @@ def get_fast_pc_sampler(sde: SDE, model: ScoreModelFC, params,
                         snr: float = 0.16, n_corrector_steps: int = 1,
                         imputation: bool = False,
                         predictor: str = "euler_maruyama",
-                        probability_flow: bool = False, jit: bool = True):
+                        probability_flow: bool = False,
+                        step_range: Optional[Tuple[int, int]] = None,
+                        jit: bool = True):
     """Tabled PC sampler: EM predictor + optional langevin corrector +
     optional imputation, with the SAME per-step tables the Pallas kernel
-    uses. Two PRNG modes:
+    uses.
+
+    ``step_range=(lo, hi)`` runs only rows ``lo..hi`` of the N-step grid
+    (state in/out via ``z=`` / the return) — the XLA twin of the Pallas
+    kernel's option. Exact: every per-step table is a function of the
+    timestep VALUE and ``sde.N`` only, and the generic-mode PRNG folds the
+    GLOBAL step index, so head+tail under one key is bitwise the full run
+    (pinned in tests/test_few_step.py::test_fast_pc_step_range_is_exact).
+
+    Two PRNG modes:
 
     - ``sampler(key, observation=None, mask=None, z=None)``: draws with the
       generic ``get_pc_sampler`` layout (fold_in(key, i) -> split 4 ->
@@ -250,6 +261,13 @@ def get_fast_pc_sampler(sde: SDE, model: ScoreModelFC, params,
     """
     assert corrector in ("none", "langevin")
     timesteps = sde.timesteps(eps)
+    lo = 0
+    if step_range is not None:
+        lo, hi = step_range
+        if not 0 <= lo < hi <= int(timesteps.shape[0]):
+            raise ValueError(f"step_range {step_range} out of bounds for "
+                             f"the {int(timesteps.shape[0])}-step grid")
+        timesteps = timesteps[lo:hi]
     labels = _labels_for(sde, timesteps)
     cx, cout, cnoise = _pred_tables(sde, timesteps, predictor,
                                     probability_flow=probability_flow)
@@ -259,7 +277,7 @@ def get_fast_pc_sampler(sde: SDE, model: ScoreModelFC, params,
     if out_scale is not None:
         cout = cout * out_scale
     fwd = make_fast_forward(model, params, tprojs, None)  # scales folded
-    N = sde.N
+    N = int(timesteps.shape[0])
     S = n_corrector_steps if corrector == "langevin" else 0
     n_imp = 2 if imputation else 0
     K = S + n_imp + 1
@@ -292,7 +310,10 @@ def get_fast_pc_sampler(sde: SDE, model: ScoreModelFC, params,
             x = z
 
         def draws_generic(i):
-            kc, kci, kp, kpi = jax.random.split(jax.random.fold_in(key, i), 4)
+            # fold the GLOBAL grid index so a step_range split under one
+            # key reproduces the full run's draws bitwise
+            kc, kci, kp, kpi = jax.random.split(
+                jax.random.fold_in(key, i + lo), 4)
             out = [jax.random.normal(jax.random.fold_in(kc, j), shape)
                    for j in range(S)]
             if imputation:

@@ -300,6 +300,112 @@ def get_dpm_sampler(sde: SDE, model: ScoreModelFC, params,
 
 
 # ---------------------------------------------------------------------------
+# Hybrid DDIM->PC sampler: few-step head + the exact stochastic tail
+# ---------------------------------------------------------------------------
+
+def hybrid_t_switch(sde: SDE, m_tail: int, eps: float) -> float:
+    """The timestep where the DDIM head hands off to the stochastic tail:
+    the ``(N - m_tail)``-th point of the reference N-step schedule grid, so
+    the tail rows are bit-identical to the last ``m_tail`` rows of the
+    1000-step pc sampler."""
+    if not 0 < m_tail < sde.N:
+        raise ValueError(f"m_tail must be in (0, {sde.N}); got {m_tail}")
+    return float(sde.timesteps(eps)[sde.N - m_tail])
+
+
+def get_hybrid_sampler(sde: SDE, model: ScoreModelFC, params,
+                       shape: Tuple[int, ...], n_head: int = 25,
+                       m_tail: int = 100, eps: float = 1e-3,
+                       grid: str = "t", tail_corrector: str = "none",
+                       snr: float = 0.16, n_corrector_steps: int = 1,
+                       imputation: bool = False, jit: bool = True):
+    """DDIM head + exact pc tail (XLA twin of the Pallas version below).
+
+    Measured rationale (PERFORMANCE.md "Quality vs NFE"): pure few-step
+    masked imputation degrades completion MPJPE ~1.7-2x vs the 1000-step
+    pc sampler — a deterministic integrator never reconciles the
+    overwritten observed block with the sampled remainder, while the pc
+    sampler's late stochastic steps (per-step EM noise + masked re-noise,
+    optionally a langevin corrector) do exactly that near the manifold.
+    So: integrate the cheap far-from-data segment with ``n_head`` DDIM
+    steps down to ``hybrid_t_switch``, then run the reference pc sampler's
+    LAST ``m_tail`` rows verbatim (EM + masked re-noise/overwrite, ref
+    sampling.py:273-302,410-427 — via
+    ``get_fast_pc_sampler(step_range=...)``, whose rows are bit-identical
+    to the full run's suffix). NFE = n_head + m_tail * (1 + S) with
+    ``S = n_corrector_steps if tail_corrector == "langevin" else 0`` — a
+    4-10x cut vs the 1000-row protocol.
+
+    ``sampler(key, observation=None, mask=None, z=None) -> (nfe, x)``.
+    """
+    from .fast_sampler import get_fast_pc_sampler
+
+    t_sw = hybrid_t_switch(sde, m_tail, eps)
+    head = get_ddim_sampler(sde, model, params, shape, n_steps=n_head,
+                            eps=t_sw, denoise=False, grid=grid,
+                            imputation=imputation, jit=False)
+    tail = get_fast_pc_sampler(sde, model, params, shape, eps=eps,
+                               denoise=True, corrector=tail_corrector,
+                               snr=snr, n_corrector_steps=n_corrector_steps,
+                               imputation=imputation,
+                               step_range=(sde.N - m_tail, sde.N), jit=False)
+    S = n_corrector_steps if tail_corrector == "langevin" else 0
+    nfe = n_head + m_tail * (1 + S)
+
+    def sampler(key, observation=None, mask=None,
+                z: Optional[jnp.ndarray] = None):
+        kh, kt = jax.random.split(key)
+        _, x = head(kh, observation=observation, mask=mask, z=z)
+        _, x = tail(kt, observation=observation, mask=mask, z=x)
+        return nfe, x
+
+    return jax.jit(sampler) if jit else sampler
+
+
+def get_pallas_hybrid_sampler(sde: SDE, model: ScoreModelFC, params,
+                              shape: Tuple[int, ...], n_head: int = 25,
+                              m_tail: int = 100, eps: float = 1e-3,
+                              grid: str = "t", tail_corrector: str = "none",
+                              snr: float = 0.16,
+                              n_corrector_steps: int = 1, **kw):
+    """DDIM head + exact pc tail as TWO fused-kernel dispatches: the head
+    rides the DDIM table override (corrector none), the tail is the fused
+    EM sampler's native ``step_range=(N - m_tail, N)`` slice (optionally
+    with the langevin corrector) — the same late schedule the 1000-row
+    protocol runs, at ``n_head + m_tail * (1 + S)`` NFE. Accepts the
+    kernel's extra options (``quant``/``act_amax``, ``interpret``,
+    ``mesh``, ``imputation``...); see ``get_hybrid_sampler`` for the
+    measured rationale.
+    """
+    from ..ops.pallas.fused_em import get_pallas_em_sampler
+
+    t_sw = hybrid_t_switch(sde, m_tail, eps)
+    rows = ddim_tables(sde, n_head, t_sw, model, params, denoise=False,
+                       grid=grid)
+    head = get_pallas_em_sampler(sde, model, params, shape, eps=eps,
+                                 denoise=False, corrector="none",
+                                 _tables_override=rows, **kw)
+    tail = get_pallas_em_sampler(sde, model, params, shape, eps=eps,
+                                 denoise=True, corrector=tail_corrector,
+                                 snr=snr, n_corrector_steps=n_corrector_steps,
+                                 step_range=(sde.N - m_tail, sde.N), **kw)
+    S = n_corrector_steps if tail_corrector == "langevin" else 0
+    nfe = n_head + m_tail * (1 + S)
+
+    def sampler(key, observation=None, mask=None,
+                z: Optional[jnp.ndarray] = None, noise=None):
+        kh, kt = jax.random.split(key)
+        nh = nt = None
+        if noise is not None:
+            nh, nt = noise  # caller-split: head slabs, tail slabs
+        _, x = head(kh, observation=observation, mask=mask, z=z, noise=nh)
+        _, x = tail(kt, observation=observation, mask=mask, z=x, noise=nt)
+        return nfe, x
+
+    return sampler
+
+
+# ---------------------------------------------------------------------------
 # Multi-hypothesis completion serving (the few-step analogue of
 # ops.pallas.fused_em.get_pallas_em_hypo_sampler)
 # ---------------------------------------------------------------------------
@@ -349,4 +455,26 @@ def get_pallas_ddim_hypo_sampler(sde: SDE, model: ScoreModelFC, params,
     kw.setdefault("imputation", True)
     return _tile_hypos(
         lambda s: get_pallas_ddim_sampler(sde, model, params, s, **kw),
+        shape, hypo_num)
+
+
+def get_hybrid_hypo_sampler(sde: SDE, model: ScoreModelFC, params,
+                            shape: Tuple[int, ...], hypo_num: int, **kw):
+    """XLA hybrid (DDIM head + pc tail) completion:
+    ``sampler(key, observation [B,D], mask [B,D]) -> (nfe, [B, H, D])``."""
+    kw.setdefault("imputation", True)
+    return _tile_hypos(
+        lambda s: get_hybrid_sampler(sde, model, params, s, **kw),
+        shape, hypo_num)
+
+
+def get_pallas_hybrid_hypo_sampler(sde: SDE, model: ScoreModelFC, params,
+                                   shape: Tuple[int, ...], hypo_num: int,
+                                   **kw):
+    """Two-dispatch Pallas hybrid completion (all hypotheses tiled into
+    each kernel launch) — the recommended few-step completion serving
+    mode; see ``get_hybrid_sampler`` for the measured rationale."""
+    kw.setdefault("imputation", True)
+    return _tile_hypos(
+        lambda s: get_pallas_hybrid_sampler(sde, model, params, s, **kw),
         shape, hypo_num)

@@ -56,16 +56,25 @@ def parse_args(argv):
     parser.add_argument("--device", type=str, default=None, help="unused (JAX backend)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--sampler", type=str, default="pc",
-                        choices=["pc", "ddim", "dpm"],
+                        choices=["pc", "ddim", "dpm", "hybrid"],
                         help="generation sampler: the reference's PC loop "
                              "(default), or the few-step deterministic "
                              "integrators — DDIM (single Pallas kernel on "
                              "TPU) / DPM-Solver++(2M); both integrate the "
                              "same probability-flow ODE (PERFORMANCE.md "
-                             "'Few-step samplers')")
+                             "'Few-step samplers'). 'hybrid' (completion2 "
+                             "only): DDIM head + the pc sampler's exact "
+                             "last --hybrid-tail rows — the measured "
+                             "few-step completion mode (pure few-step "
+                             "imputation degrades MPJPE ~1.7-2x; the "
+                             "stochastic tail reconciles the masked block)")
     parser.add_argument("--sampler-steps", type=int, default=None,
-                        help="steps for --sampler ddim/dpm "
-                             "(default: 50 ddim, 20 dpm)")
+                        help="steps for --sampler ddim/dpm/hybrid "
+                             "(default: 50 ddim, 20 dpm, 25 hybrid head)")
+    parser.add_argument("--hybrid-tail", type=int, default=100,
+                        help="m_tail for --sampler hybrid: how many final "
+                             "rows of the 1000-row schedule run as the "
+                             "exact stochastic pc tail")
     parser.add_argument("--quant", type=str, default="none",
                         choices=["none", "int8", "int8-mixed"],
                         help="opt-in W8A8 serving mode for the Pallas sampler "
@@ -203,8 +212,33 @@ def main(args):
         if args.sampler != "pc" and config.sampling.corrector == "none":
             from dposer_tpu.diffusion import few_step
 
-            n_fs = args.sampler_steps or (50 if args.sampler == "ddim" else 20)
+            n_fs = args.sampler_steps or {"ddim": 50, "dpm": 20,
+                                          "hybrid": 25}[args.sampler]
             dn = config.sampling.noise_removal
+            if args.sampler == "hybrid":
+                # DDIM head + the EM schedule's exact stochastic tail
+                if (config.model.embedding_type == "positional"
+                        and jax.default_backend() == "tpu"):
+                    try:
+                        s = few_step.get_pallas_hybrid_sampler(
+                            sde, model, params, shape, n_head=n_fs,
+                            m_tail=args.hybrid_tail, eps=eps,
+                            rng_mode="kernel",
+                            **{k: v for k, v in quant_kwargs(eps).items()
+                               if k != "bf16_tail_steps"})
+                        s(jax.random.PRNGKey(0))  # compile probe
+                        print(f"[sampler] pallas hybrid DDIM-{n_fs} + "
+                              f"pc-tail-{args.hybrid_tail}")
+                        return lambda k, **kw: (None, s(k, **kw)[1])
+                    except _KERNEL_FALLBACK_ERRORS as e:
+                        print(f"[sampler] pallas hybrid unavailable "
+                              f"({type(e).__name__}: {e}); tabled XLA")
+                s = few_step.get_hybrid_sampler(
+                    sde, model, params, shape, n_head=n_fs,
+                    m_tail=args.hybrid_tail, eps=eps)
+                print(f"[sampler] tabled hybrid DDIM-{n_fs} + "
+                      f"pc-tail-{args.hybrid_tail}")
+                return lambda k, **kw: (None, s(k, **kw)[1])
             if args.sampler == "ddim":
                 if (config.model.embedding_type == "positional"
                         and jax.default_backend() == "tpu"):
@@ -444,11 +478,12 @@ def main(args):
             # completion columns). Ref protocol: sampling.py:410-427.
             from dposer_tpu.diffusion import few_step
 
-            n_fs = args.sampler_steps or (50 if args.sampler == "ddim" else 20)
+            n_fs = args.sampler_steps or {"ddim": 50, "dpm": 20,
+                                          "hybrid": 25}[args.sampler]
             dn = config.sampling.noise_removal
             multihypo = None
             key, kh = jax.random.split(key)
-            if (args.sampler == "ddim"
+            if (args.sampler in ("ddim", "hybrid")
                     and config.model.embedding_type == "positional"
                     and jax.default_backend() == "tpu"):
                 try:
@@ -456,19 +491,36 @@ def main(args):
                     if "bf16_tail_steps" in kwq:
                         kwq["bf16_tail_steps"] = max(
                             1, min(kwq["bf16_tail_steps"], n_fs // 10))
-                    s = few_step.get_pallas_ddim_hypo_sampler(
-                        sde, model, params, observation.shape, hypo_num,
-                        n_steps=n_fs, eps=sampling_eps, denoise=dn,
-                        rng_mode="kernel", **kwq)
+                    if args.sampler == "hybrid":
+                        s = few_step.get_pallas_hybrid_hypo_sampler(
+                            sde, model, params, observation.shape, hypo_num,
+                            n_head=n_fs, m_tail=args.hybrid_tail,
+                            eps=sampling_eps, rng_mode="kernel",
+                            **{k: v for k, v in kwq.items()
+                               if k != "bf16_tail_steps"})
+                        label = (f"pallas hybrid DDIM-{n_fs} + pc-tail-"
+                                 f"{args.hybrid_tail} imputation")
+                    else:
+                        s = few_step.get_pallas_ddim_hypo_sampler(
+                            sde, model, params, observation.shape, hypo_num,
+                            n_steps=n_fs, eps=sampling_eps, denoise=dn,
+                            rng_mode="kernel", **kwq)
+                        label = f"pallas DDIM imputation kernel, {n_fs} steps"
                     _, multihypo = s(kh, observation, mask)
-                    print(f"[sampler] pallas DDIM imputation kernel, "
-                          f"{n_fs} steps x {hypo_num} hypos, one dispatch"
+                    print(f"[sampler] {label} x {hypo_num} hypos"
                           f"{'' if args.quant == 'none' else ', ' + args.quant}")
                 except _KERNEL_FALLBACK_ERRORS as e:
-                    print(f"[sampler] pallas DDIM imputation unavailable "
-                          f"({type(e).__name__}: {e}); tabled XLA")
+                    print(f"[sampler] pallas {args.sampler} imputation "
+                          f"unavailable ({type(e).__name__}: {e}); tabled XLA")
             if multihypo is None:
-                if args.sampler == "ddim":
+                if args.sampler == "hybrid":
+                    s = few_step.get_hybrid_hypo_sampler(
+                        sde, model, params, observation.shape, hypo_num,
+                        n_head=n_fs, m_tail=args.hybrid_tail,
+                        eps=sampling_eps)
+                    print(f"[sampler] tabled hybrid DDIM-{n_fs} + pc-tail-"
+                          f"{args.hybrid_tail} imputation")
+                elif args.sampler == "ddim":
                     s = few_step.get_ddim_hypo_sampler(
                         sde, model, params, observation.shape, hypo_num,
                         n_steps=n_fs, eps=sampling_eps, denoise=dn)

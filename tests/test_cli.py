@@ -237,6 +237,24 @@ def test_demo_completion2_few_step_samplers(workdir):
     assert "DPM-Solver++(2M) imputation, 8 steps" in out and "MPJPE" in out
 
 
+def test_demo_completion2_hybrid_sampler(workdir):
+    """--task completion2 --sampler hybrid: DDIM head + the pc schedule's
+    exact stochastic tail (the measured few-step completion serving mode,
+    PERFORMANCE.md 'Quality vs NFE'). The tiny config's N=50 grid bounds
+    --hybrid-tail."""
+    out = run_cli([
+        "run.demo", "--config", workdir["config"],
+        "--task", "completion2", "--sampler", "hybrid",
+        "--sampler-steps", "4", "--hybrid-tail", "10",
+        "--hypo", "2", "--part", "legs",
+        "--ckpt-path", workdir["ckpt"],
+        "--bodymodel-path", workdir["bm"],
+        "--dataset-folder", workdir["data_root"], "--version", "version1",
+        "--file-path", workdir["toy"],
+        "--output-path", workdir["out"]])
+    assert "hybrid DDIM-4 + pc-tail-10" in out and "MPJPE" in out
+
+
 def test_demo_generation_ode_method(workdir):
     """sampling.method='ode' generation (ref sampling.py:471-542): routes
     through the PF-ODE sampler (RK4 Pallas kernel on TPU; adaptive RK45

@@ -95,6 +95,11 @@ def workdir(tmp_path_factory, torch, ref_model_lib, ref_ema_lib):
     bm_path, _ = make_synthetic_body_model(tmp / "SMPLX_NEUTRAL.npz", "smplx")
     config_py = tmp / "tiny_config.py"
     config_py.write_text(TINY_CONFIG_SRC)
+    # dotted --config-path CLIs (run.fitting) import tests.cli_tiny_config;
+    # write it HERE too so this module passes standalone (it previously
+    # relied on test_cli.py's fixture having run first in the same session)
+    with open(os.path.join(REPO, "tests", "cli_tiny_config.py"), "w") as f:
+        f.write(TINY_CONFIG_SRC)
     return dict(tmp=tmp, data_root=str(data_root), ckpt=str(ckpt),
                 bm=bm_path, config=str(config_py))
 

@@ -219,3 +219,108 @@ def test_pallas_ddim_mixed_precision_threads_imputation(small):
     nfe, x = s(jax.random.PRNGKey(1), observation=obs, mask=mask)
     assert nfe == 9 and bool(jnp.isfinite(x).all())
     assert float(jnp.max(jnp.abs((x - obs) * mask))) < 5e-2
+
+
+# ---------------------------------------------------------------------------
+# Hybrid DDIM head + exact pc tail (few-step completion serving mode)
+# ---------------------------------------------------------------------------
+
+def test_fast_pc_step_range_is_exact(small):
+    """get_fast_pc_sampler(step_range=): head+tail under ONE key is
+    bitwise the full run — tables are per-row value functions and the
+    generic PRNG folds the GLOBAL step index (the property the hybrid
+    sampler's 'exact pc tail' claim rests on)."""
+    from dposer_tpu.diffusion.fast_sampler import get_fast_pc_sampler
+    from dposer_tpu.diffusion.sde import SubVPSDE
+
+    model, params = small
+    sde = SubVPSDE(N=40)
+    shape = (4, DIM)
+    obs, mask = _obs_mask(shape)
+    kw = dict(corrector="langevin", imputation=True)
+    full = get_fast_pc_sampler(sde, model, params, shape, **kw)
+    head = get_fast_pc_sampler(sde, model, params, shape, denoise=False,
+                               step_range=(0, 25), **kw)
+    tail = get_fast_pc_sampler(sde, model, params, shape,
+                               step_range=(25, 40), **kw)
+    k = jax.random.PRNGKey(5)
+    _, xf = full(k, observation=obs, mask=mask)
+    k2, sub = jax.random.split(k)  # replicate full()'s prior-draw split
+    z0 = sde.prior_sampling(sub, shape)
+    _, xh = head(k2, observation=obs, mask=mask, z=z0)
+    _, xt = tail(k2, observation=obs, mask=mask, z=xh)
+    np.testing.assert_array_equal(np.asarray(xt), np.asarray(xf))
+    with pytest.raises(ValueError, match="step_range"):
+        get_fast_pc_sampler(sde, model, params, shape, step_range=(0, 99))
+
+
+def test_hybrid_sampler_runs_counts_nfe_and_pins_observed(small):
+    from dposer_tpu.diffusion.few_step import (get_hybrid_sampler,
+                                               get_pallas_hybrid_sampler,
+                                               hybrid_t_switch)
+
+    model, params = small
+    sde = SubVPSDE(N=100)
+    shape = (8, DIM)
+    obs, mask = _obs_mask(shape)
+    with pytest.raises(ValueError, match="m_tail"):
+        hybrid_t_switch(sde, 100, 1e-3)
+    # XLA twin: corrector-none tail (the completion protocol's form)
+    nfe, x = get_hybrid_sampler(sde, model, params, shape, n_head=5,
+                                m_tail=20, imputation=True)(
+        jax.random.PRNGKey(1), observation=obs, mask=mask)
+    assert nfe == 25 and bool(jnp.isfinite(x).all())
+    assert float(jnp.max(jnp.abs((x - obs) * mask))) < 1e-2
+    assert float(jnp.max(jnp.abs(x * (1 - mask)))) > 0.01
+    # langevin tail doubles the tail NFE
+    nfe, _ = get_hybrid_sampler(sde, model, params, shape, n_head=5,
+                                m_tail=20, tail_corrector="langevin")(
+        jax.random.PRNGKey(1))
+    assert nfe == 45
+    # Pallas two-dispatch form (interpret): same contract
+    nfe, x = get_pallas_hybrid_sampler(sde, model, params, shape, n_head=5,
+                                       m_tail=20, imputation=True,
+                                       interpret=True)(
+        jax.random.PRNGKey(1), observation=obs, mask=mask)
+    assert nfe == 25 and bool(jnp.isfinite(x).all())
+    assert float(jnp.max(jnp.abs((x - obs) * mask))) < 1e-2
+
+
+def test_hybrid_hypo_samplers_shapes(small):
+    from dposer_tpu.diffusion.few_step import (get_hybrid_hypo_sampler,
+                                               get_pallas_hybrid_hypo_sampler)
+
+    model, params = small
+    sde = SubVPSDE(N=100)
+    shape = (4, DIM)
+    obs, mask = _obs_mask(shape)
+    for build in (lambda: get_hybrid_hypo_sampler(sde, model, params, shape,
+                                                  3, n_head=4, m_tail=10),
+                  lambda: get_pallas_hybrid_hypo_sampler(
+                      sde, model, params, shape, 3, n_head=4, m_tail=10,
+                      interpret=True)):
+        nfe, out = build()(jax.random.PRNGKey(1), obs, mask)
+        assert nfe == 14 and out.shape == (4, 3, DIM)
+        m = mask[:, None]
+        assert float(jnp.max(jnp.abs((out - obs[:, None]) * m))) < 1e-2
+        spread = jnp.std(out * (1 - m), axis=1).max()
+        assert float(spread) > 1e-3
+
+
+def test_pallas_hybrid_quant_composes(small):
+    """int8 per-channel rides both hybrid dispatches (head via table
+    override, tail via step_range)."""
+    from dposer_tpu.diffusion.few_step import get_pallas_hybrid_sampler
+
+    model, params = small
+    sde = SubVPSDE(N=100)
+    d_in = model.n_poses * model.pose_dim
+    hid = model.hidden_dim
+    amax_c = ([np.full((d_in,), 4.0, np.float32)]
+              + [np.full((hid,), 3.0, np.float32)] * (2 * model.n_blocks)
+              + [np.full((hid,), 5.0, np.float32)])
+    s = get_pallas_hybrid_sampler(sde, model, params, (8, DIM), n_head=4,
+                                  m_tail=10, interpret=True,
+                                  quant="int8", act_amax=amax_c)
+    nfe, x = s(jax.random.PRNGKey(1))
+    assert nfe == 14 and bool(jnp.isfinite(x).all())
