@@ -25,6 +25,7 @@ and bpd is a free speedup), and steady-state wall time (2nd call).
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,8 +46,9 @@ def main():
     ap.add_argument("--comp-hypo", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--time-reps", type=int, default=3,
-                    help="timed steady-state calls per mode; wall = min "
-                         "(robust to multi-second axon tunnel stalls)")
+                    help="timed steady-state calls per mode; wall = median "
+                         "(robust to tunnel stalls AND spuriously-early "
+                         "ready signals)")
     ap.add_argument("--out", type=str, default="artifacts/quality_vs_nfe.json")
     ap.add_argument("--only", type=str, default=None,
                     help="substring filter over mode names (comma-separated "
@@ -160,25 +162,48 @@ def main():
     def _wrap(s):  # few-step samplers return (nfe, x)
         return lambda key: (None, s(key)[1])
 
+    def with_retry(fn, name, attempts=3):
+        """The axon tunnel's remote_compile sporadically drops mid-stream
+        (JaxRuntimeError 'response body closed...'); one transient drop
+        must not kill a 30-mode single-session sweep. Seeds are fixed per
+        mode, so a retry reproduces the same measurement."""
+        for a in range(attempts):
+            try:
+                return fn()
+            except jax.errors.JaxRuntimeError as e:
+                if a == attempts - 1:
+                    raise
+                print(f"[retry] {name}: transient runtime error "
+                      f"({str(e).splitlines()[0][:120]}); attempt "
+                      f"{a + 2}/{attempts} in 30 s", flush=True)
+                time.sleep(30)
+
     rows = []
     key = jax.random.PRNGKey(args.seed)
     for name, nfe, build in builders():
         if not selected(name):
             continue
-        sampler = build()
         key, sub = jax.random.split(key)
-        _, x = sampler(sub)              # compile + sample
-        jax.block_until_ready(x)
-        # best-of-N timing: the axon tunnel occasionally stalls for
-        # seconds mid-call, which would poison a single-shot wall time
-        # (observed: 406 vs 2,100 poses/s for the same program); min over
-        # repeats recovers the steady-state rate within one session
-        dt = float("inf")
-        for rep in range(1, args.time_reps + 1):
-            t0 = time.perf_counter()
-            _, x2 = sampler(jax.random.fold_in(sub, rep))
-            jax.block_until_ready(x2)
-            dt = min(dt, time.perf_counter() - t0)
+
+        def measure(build=build, sub=sub):
+            sampler = build()
+            _, x = sampler(sub)              # compile + sample
+            jax.block_until_ready(x)
+            # median-of-N timing: the axon tunnel occasionally stalls
+            # for seconds mid-call (observed: 406 vs 2,100 poses/s for
+            # the same program) and can also return an impossibly-early
+            # ready signal (observed: 0.3 ms for a 1000-step kernel) —
+            # the median is robust to one outlier in either direction,
+            # min/single-shot are not
+            reps = []
+            for rep in range(1, args.time_reps + 1):
+                t0 = time.perf_counter()
+                _, x2 = sampler(jax.random.fold_in(sub, rep))
+                jax.block_until_ready(x2)
+                reps.append(time.perf_counter() - t0)
+            return x, statistics.median(reps)
+
+        x, dt = with_retry(measure, name)
         axis = normalizer.offline_denormalize(x, to_axis=True)
         padded = jnp.concatenate([axis, jnp.zeros((args.n_samples, 6))], 1)
         apd = float(average_pairwise_distance(
@@ -253,15 +278,20 @@ def main():
     for name, nfe, build in comp_builders():
         if not selected(name):
             continue
-        s = build()
-        hypos = s(jax.random.PRNGKey(13), obs, mask)
-        jax.block_until_ready(hypos)
-        dt = float("inf")
-        for _ in range(args.time_reps):
-            t0 = time.perf_counter()
-            hypos = s(jax.random.PRNGKey(14), obs, mask)
+
+        def measure(build=build):
+            s = build()
+            hypos = s(jax.random.PRNGKey(13), obs, mask)
             jax.block_until_ready(hypos)
-            dt = min(dt, time.perf_counter() - t0)
+            reps = []
+            for _ in range(args.time_reps):
+                t0 = time.perf_counter()
+                hypos = s(jax.random.PRNGKey(14), obs, mask)
+                jax.block_until_ready(hypos)
+                reps.append(time.perf_counter() - t0)
+            return hypos, statistics.median(reps)
+
+        hypos, dt = with_retry(measure, name)
         preds = normalizer.offline_denormalize(hypos, to_axis=True)
         res = evaler.multi_eval_bodys(preds, jnp.asarray(test))
         mpjpe = float(np.mean(res["mpjpe_body"]))

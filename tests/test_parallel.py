@@ -441,3 +441,28 @@ def test_sharded_ode_and_likelihood_kernels():
         # indivisible batch refuses cleanly
         get_pallas_ode_sampler(sde, model, params, (B + 1, DIM),
                                n_steps=3, interpret=True, mesh=mesh)
+
+
+def test_sharded_hybrid_sampler():
+    """mesh= through both hybrid dispatches (DDIM table-override head +
+    step_range pc tail): output sharded over the mesh, observed dims
+    pinned by the masked imputation, finite."""
+    from dposer_tpu.diffusion.few_step import get_pallas_hybrid_sampler
+
+    sde = sde_lib.SubVPSDE(N=50)
+    model = ScoreModelFC(n_poses=2, pose_dim=4, hidden_dim=64, embed_dim=32,
+                         n_blocks=1, dropout=0.0, scale_by_sigma=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, DIM)),
+                        jnp.zeros((1,)))["params"]
+    mesh = par.make_mesh()
+    B = 16
+    obs = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (B, DIM))
+    mask = jnp.zeros((B, DIM)).at[:, :3].set(1.0)
+    s = get_pallas_hybrid_sampler(sde, model, params, (B, DIM), n_head=4,
+                                  m_tail=10, imputation=True,
+                                  interpret=True, mesh=mesh)
+    nfe, x = s(jax.random.PRNGKey(1), observation=obs, mask=mask)
+    assert nfe == 14 and x.shape == (B, DIM)
+    assert len(x.sharding.device_set) == 8, x.sharding
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert float(jnp.max(jnp.abs((x - obs) * mask))) < 5e-2
