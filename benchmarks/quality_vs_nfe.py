@@ -181,9 +181,12 @@ def main():
     rows = []
     key = jax.random.PRNGKey(args.seed)
     for name, nfe, build in builders():
+        # split per ENUMERATED mode (not per selected one) so each mode's
+        # seed is position-stable and an --only splice shares the full
+        # run's seed stream
+        key, sub = jax.random.split(key)
         if not selected(name):
             continue
-        key, sub = jax.random.split(key)
 
         def measure(build=build, sub=sub):
             sampler = build()
@@ -258,7 +261,8 @@ def main():
         # hybrid DDIM head + exact pc tail: the stochastic late steps are
         # what reconcile the masked block (few_step.get_hybrid_sampler
         # docstring) — 4-25x fewer NFE than the 1000-row imputation path
-        for n_head, m_tail in ((25, 200), (25, 100), (25, 50), (10, 25)):
+        for n_head, m_tail in ((25, 500), (25, 300), (25, 200), (25, 100),
+                               (25, 50), (10, 25)):
             yield (f"completion hybrid-{n_head}+{m_tail} bf16",
                    n_head + m_tail,
                    lambda nh=n_head, mt=m_tail: _wrap_hypo(
@@ -271,6 +275,27 @@ def main():
                    sde, model, params, (args.comp_batch, D), args.comp_hypo,
                    n_head=25, m_tail=100, eps=EPS,
                    rng_mode="kernel", **quant_kw_pc("none"))))
+        # stochasticity-per-row vs more rows at MATCHED NFE 225: langevin
+        # corrector on a 100-row tail vs the plain 200-row tail above —
+        # measured winner (133.8 vs 149.6 mm); curve below
+        for m_tail in (200, 100, 50):
+            yield (f"completion hybrid-lgv-25+{m_tail} bf16",
+                   25 + 2 * m_tail,
+                   lambda mt=m_tail: _wrap_hypo(
+                       few_step.get_pallas_hybrid_hypo_sampler(
+                           sde, model, params, (args.comp_batch, D),
+                           args.comp_hypo, n_head=25, m_tail=mt, eps=EPS,
+                           tail_corrector="langevin",
+                           snr=config.sampling.snr,
+                           n_corrector_steps=config.sampling.n_steps_each,
+                           rng_mode="kernel")))
+        yield ("completion hybrid-lgv-25+100 int8-chan", 225,
+               lambda: _wrap_hypo(few_step.get_pallas_hybrid_hypo_sampler(
+                   sde, model, params, (args.comp_batch, D), args.comp_hypo,
+                   n_head=25, m_tail=100, eps=EPS,
+                   tail_corrector="langevin", snr=config.sampling.snr,
+                   n_corrector_steps=config.sampling.n_steps_each,
+                   rng_mode="kernel", **quant_kw_pc("langevin"))))
 
     def _wrap_hypo(s):  # few-step hypo samplers return (nfe, hypos)
         return lambda key, o, m: s(key, o, m)[1]
@@ -299,18 +324,32 @@ def main():
         print(f"{name:32s} nfe {nfe:5d}  MPJPE {mpjpe:.2f} mm  "
               f"wall {dt:.2f}s", flush=True)
 
+    protocol = dict(seed=args.seed, eps=EPS, gen_lik_seed=7,
+                    time_reps=args.time_reps,
+                    calib_seed=999, comp_batch=args.comp_batch,
+                    comp_hypo=args.comp_hypo, comp_part="left_leg",
+                    comp_mask_seed=11, comp_sample_seeds=[13, 14])
+    if args.only is not None and os.path.exists(args.out):
+        # incremental rerun: SPLICE the measured rows into the existing
+        # table (replace by mode name, keep order, append new modes) —
+        # refusing if the protocols differ, so one artifact can never mix
+        # incompatible seed sets (the r4 failure mode this replaces)
+        prev = json.load(open(args.out))
+        if prev.get("protocol") != protocol or prev.get("ckpt") != args.ckpt_path:
+            raise SystemExit(f"--only splice refused: {args.out} was "
+                             f"measured under a different protocol/ckpt; "
+                             f"rerun without --only to regenerate")
+        merged, new = list(prev["rows"]), {r["mode"]: r for r in rows}
+        merged = [new.pop(r["mode"], r) for r in merged]
+        merged += [r for r in rows if r["mode"] in new]
+        rows = merged
+        print(f"spliced into existing table ({len(rows)} rows total)")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(dict(ckpt=args.ckpt_path, n_samples=args.n_samples,
                        # protocol metadata so artifact consumers (pins,
                        # cross-file comparisons) can assert seeds match
-                       protocol=dict(
-                           seed=args.seed, eps=EPS, gen_lik_seed=7,
-                           time_reps=args.time_reps,
-                           calib_seed=999, comp_batch=args.comp_batch,
-                           comp_hypo=args.comp_hypo, comp_part="left_leg",
-                           comp_mask_seed=11, comp_sample_seeds=[13, 14]),
-                       rows=rows), f, indent=1)
+                       protocol=protocol, rows=rows), f, indent=1)
     print(f"wrote {args.out}")
 
 

@@ -149,9 +149,9 @@ def test_quality_vs_nfe_chan_artifact_pins():
     at the source"):
 
     - generation: int8-chan APD within 2% of the same-session bf16 row
-      and bpd within 0.05 (plain per-tensor int8: 4.4% / +0.37) — and at
-      least as fast as plain int8 (same kernel, scales folded into the
-      weights);
+      and bpd within 0.05 (plain per-tensor int8: 4.4% / +0.37) — at
+      plain-int8 speed up to a 10% benchmark-variance tolerance (same
+      kernel inner loop, scales folded into the weights);
     - completion: int8-chan lands within 5% of bf16 MPJPE, vs the
       per-tensor mode's >1.2x degradation and the mixed mode's partial
       tail-200 rescue — completion may serve int8 again;
@@ -178,7 +178,8 @@ def test_quality_vs_nfe_chan_artifact_pins():
     # strictly closer to bf16 than per-tensor int8 on both quality axes
     assert abs(ch["apd"] - pc["apd"]) < abs(i8["apd"] - pc["apd"])
     assert abs(ch["bpd"] - pc["bpd"]) < abs(i8["bpd"] - pc["bpd"])
-    # folding scales into the weights costs nothing at serving time
+    # same kernel inner loop as per-tensor int8 (scales folded into the
+    # weights) — equal speed up to a 10% benchmark-variance tolerance
     assert ch["poses_per_sec"] > 0.9 * i8["poses_per_sec"]
 
     c_bf16 = rows["completion pc-1000 bf16"]["mpjpe"]
@@ -188,8 +189,87 @@ def test_quality_vs_nfe_chan_artifact_pins():
 
     # few-step bpd tail closed (bf16 twins from the main artifact --
     # quality is same-seed deterministic across the two sessions, speed
-    # is not, so only quality crosses files)
+    # is not, so only quality crosses files). These r4 artifacts predate
+    # the recorded protocol block; when both carry one, assert the seeds
+    # actually match before comparing across files (regenerated artifacts
+    # always carry it -- see the r5 unified test, which pins the same
+    # relation within ONE file and supersedes this cross-file check).
+    chan_all = json.load(open(os.path.join(base, "quality_vs_nfe_chan.json")))
+    main_all = json.load(open(os.path.join(base, "quality_vs_nfe.json")))
+    if "protocol" in chan_all or "protocol" in main_all:
+        assert chan_all.get("protocol") == main_all.get("protocol"), \
+            "cross-file few-step comparison requires identical protocols"
     for n in (50, 20, 10):
         gap = (rows[f"ddim-{n} int8-chan"]["bpd"]
                - main[f"ddim-{n} bf16"]["bpd"])
         assert 0.0 < gap < 0.25, (n, gap)
+
+
+def test_quality_vs_nfe_r5_unified_pins():
+    """Pin the round-5 UNIFIED serving table: every mode (generation +
+    completion, bf16/int8/int8-mixed/int8-chan, pc/ddim/dpm/hybrid)
+    measured in ONE session on the pinned 400k checkpoint with one seed
+    set and best-of-N timing (VERDICT r4 item 4 — the r4 tables spanned
+    three sessions whose pc-1000 bf16 rates disagreed by 28%).
+
+    Every serving-guidance claim PERFORMANCE.md derives from the table is
+    asserted here against the committed artifact, same-file:
+
+    - dpm-20/ddim-50 hold full-schedule APD; all bf16 modes score
+      data-class bpd;
+    - int8 twins: APD within 5%, the per-tensor few-step bpd tail, the
+      per-channel fix (gap < 0.25 SAME-session — this pin supersedes the
+      r4 cross-file comparison);
+    - completion: per-tensor int8 degrades (>1.2x), int8-chan holds
+      (<5%); pure few-step imputation degrades ~1.7-2x (the measured
+      negative result motivating the hybrid); the hybrid DDIM-head +
+      exact-pc-tail rows recover pc-level MPJPE at 4-25x fewer NFE.
+    """
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "protocols_r5", "quality_vs_nfe_r5.json")
+    data = json.load(open(path))
+    assert data["protocol"]["time_reps"] >= 2  # stall-robust timing
+    rows = {r["mode"]: r for r in data["rows"]}
+
+    pc = rows["pc-1000 bf16"]
+    assert 0.85 < pc["apd"] < 0.96, pc["apd"]
+    assert abs(rows["dpm-20 (xla)"]["apd"] - pc["apd"]) / pc["apd"] < 0.05
+    assert abs(rows["ddim-50 bf16"]["apd"] - pc["apd"]) / pc["apd"] < 0.01
+    for mode in ("ddim-50 bf16", "ddim-20 bf16", "ddim-10 bf16",
+                 "dpm-20 (xla)", "dpm-10 (xla)"):
+        assert abs(rows[mode]["bpd"] - pc["bpd"]) < 0.45, (mode, rows[mode])
+
+    for n in (50, 20, 10):
+        b16, i8, ch = (rows[f"ddim-{n} bf16"], rows[f"ddim-{n} int8"],
+                       rows[f"ddim-{n} int8-chan"])
+        assert abs(i8["apd"] - b16["apd"]) / b16["apd"] < 0.05
+        assert 0.0 < i8["bpd"] - b16["bpd"] < 4.0      # per-tensor tail
+        assert 0.0 < ch["bpd"] - b16["bpd"] < 0.25     # per-channel fix
+    ch = rows["pc-1000 int8-chan"]
+    assert abs(ch["apd"] - pc["apd"]) / pc["apd"] < 0.02
+    assert abs(ch["bpd"] - pc["bpd"]) < 0.05
+
+    c_pc = rows["completion pc-1000 bf16"]["mpjpe"]
+    assert rows["completion pc-1000 int8"]["mpjpe"] > 1.2 * c_pc
+    assert rows["completion pc-1000 int8-chan"]["mpjpe"] < 1.05 * c_pc
+    # pure few-step imputation: the measured negative result
+    for n in (50, 20, 10):
+        assert rows[f"completion ddim-{n} bf16"]["mpjpe"] > 1.5 * c_pc
+    # plain-EM-tail hybrids: better than every pure few-step mode at
+    # comparable NFE, monotone-improving in tail length, but saturating
+    # ~12% above pc — the measured finding that led to the langevin tail
+    h = {m: rows[f"completion hybrid-{m} bf16"]["mpjpe"]
+         for m in ("25+500", "25+300", "25+200", "25+100", "25+50",
+                   "10+25")}
+    assert h["25+100"] < rows["completion ddim-50 bf16"]["mpjpe"]
+    assert h["25+500"] <= h["25+300"] <= h["25+200"] <= h["25+100"] \
+        <= h["25+50"]
+    assert h["25+500"] > 1.1 * c_pc  # plain-EM tails saturate high
+    # the langevin-tail hybrid is the serving mode: at NFE 225 it beats
+    # the plain 200-row tail (same NFE) AND every longer plain tail, and
+    # lands within 5% of the full 1000-row protocol at 4.4x fewer evals
+    lgv = rows["completion hybrid-lgv-25+100 bf16"]["mpjpe"]
+    assert lgv < h["25+200"] and lgv < h["25+500"], (lgv, h)
+    assert lgv < 1.05 * c_pc, (lgv, c_pc)
