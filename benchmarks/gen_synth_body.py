@@ -56,3 +56,67 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def make_smooth_smpl_body(path, n_lat=84, n_lon=84, seed=0,
+                          root_w=0.55, tau=0.3):
+    """SMPL-type fixture whose forward outputs SMOOTH body-scale meshes:
+    UV-sphere template (13.9k faces — the real SMPL face count scale),
+    spatially smooth LBS weights (softmax over joint distance, blended
+    with a rigid root component) and low-frequency sinusoidal blendshape
+    fields. The random-point-cloud fixtures self-intersect at ~98%, which
+    distorts the --metrics SI tail's narrow-phase workload; this variant
+    lands in the body-realistic few-percent regime, so the
+    serial-vs-pipelined tail measurement (PERFORMANCE.md "APD/SI metrics
+    protocol") times the real work. Usage:
+
+        python benchmarks/gen_synth_body.py --which smpl-smooth
+            -> data/synth_smpl_smooth.npz
+    """
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from time_metrics import make_body_like_mesh
+    from fixtures import _parents
+
+    rng = np.random.default_rng(seed)
+    verts, faces = make_body_like_mesh(n_lat=n_lat, n_lon=n_lon, seed=seed)
+    verts = verts * 0.85  # ~human span in metres
+    n_verts, n_joints = len(verts), 24
+
+    joints = 0.4 * rng.normal(size=(n_joints, 3)).astype(np.float32)
+    joints[0] = 0.0
+    d = np.linalg.norm(verts[:, None] - joints[None], axis=-1)
+    group = d.argmin(1)
+    J_regressor = np.zeros((n_joints, n_verts), np.float32)
+    for j in range(n_joints):
+        members = np.where(group == j)[0]
+        if len(members) == 0:
+            members = np.array([j % n_verts])
+        J_regressor[j, members] = 1.0 / len(members)
+
+    # smooth skinning: local softmax over joint distance + rigid root
+    # share (keeps ~1-rad poses from shredding the surface)
+    w_local = np.exp(-d / tau)
+    w_local /= w_local.sum(1, keepdims=True)
+    weights = (1 - root_w) * w_local
+    weights[:, 0] += root_w
+    weights = (weights / weights.sum(1, keepdims=True)).astype(np.float32)
+
+    def smooth_field(k, amp):
+        w = rng.normal(size=(k, 3, 3))
+        ph = rng.uniform(0, 2 * np.pi, (k, 3))
+        out = np.stack([amp * np.sin(verts @ w[i].T * 2.0 + ph[i])
+                        for i in range(k)], axis=-1)
+        return out.astype(np.float32)  # [V, 3, k]
+
+    shapedirs = smooth_field(10, 0.02)
+    posedirs = smooth_field((n_joints - 1) * 9, 0.002)
+
+    parents = np.asarray(_parents("smpl"), np.int64)
+    parents[0] = 2 ** 32 - 1
+    kintree_table = np.stack([parents, np.arange(n_joints)], 0)
+    np.savez(path, v_template=verts.astype(np.float32), shapedirs=shapedirs,
+             posedirs=posedirs, J_regressor=J_regressor, weights=weights,
+             kintree_table=kintree_table, f=faces)
+    return str(path)

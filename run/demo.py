@@ -323,11 +323,14 @@ def main(args):
             print(f"[skip renders] body model unavailable: {e}")
 
         if args.metrics:
+            import time as _time
+
             sample_num_m = 500
             shape = (sample_num_m, N_POSES * POSE_DIM)
             config.sampling.method = "pc"
             config.sampling.corrector = "langevin"
             key, sub = jax.random.split(key)
+            t_seg = _time.perf_counter()
             if args.metrics_chunks > 1:
                 # pipelined tail (VERDICT r4 weak #5): the protocol ends in
                 # host-side C++ SI that dwarfs the device work (~4.7 s vs
@@ -382,6 +385,9 @@ def main(args):
                 apd = float(average_pairwise_distance(body_out.Jtr[:, :22, :]))
                 si = float(np.nanmean(self_intersections_percentage(
                     np.asarray(body_out.v), np.asarray(body_out.f))))
+            print(f"[metrics] protocol segment wall "
+                  f"(build+sample+APD+SI, chunks={args.metrics_chunks}): "
+                  f"{_time.perf_counter() - t_seg:.2f}s")
             print("average_pairwise_distance for 500 generated samples", apd)
             print("self-intersections percentage for 500 generated samples", si)
         return
