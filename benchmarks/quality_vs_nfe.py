@@ -158,6 +158,18 @@ def main():
             yield (f"dpm-{n} (xla)", n, lambda n=n: _wrap(
                 few_step.get_dpm_sampler(sde, model, params, shape,
                                          n_steps=n, eps=EPS)))
+        # generation hybrids (appended AFTER the original modes so their
+        # key-stream positions are stable vs the committed artifact):
+        # does the langevin tail buy full-protocol APD/bpd at 4x fewer NFE?
+        for m_tail in (100, 50):
+            yield (f"hybrid-lgv-25+{m_tail} bf16", 25 + 2 * m_tail,
+                   lambda mt=m_tail: _wrap(
+                       few_step.get_pallas_hybrid_sampler(
+                           sde, model, params, shape, n_head=25, m_tail=mt,
+                           eps=EPS, tail_corrector="langevin",
+                           snr=config.sampling.snr,
+                           n_corrector_steps=config.sampling.n_steps_each,
+                           rng_mode="kernel")))
 
     def _wrap(s):  # few-step samplers return (nfe, x)
         return lambda key: (None, s(key)[1])

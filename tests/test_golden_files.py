@@ -273,3 +273,9 @@ def test_quality_vs_nfe_r5_unified_pins():
     lgv = rows["completion hybrid-lgv-25+100 bf16"]["mpjpe"]
     assert lgv < h["25+200"] and lgv < h["25+500"], (lgv, h)
     assert lgv < 1.05 * c_pc, (lgv, c_pc)
+
+    # generation: the same mode reproduces the full protocol's sample
+    # DISTRIBUTION (bpd within 0.02, APD within 2%) at 4.4x fewer evals
+    g = rows["hybrid-lgv-25+100 bf16"]
+    assert abs(g["bpd"] - pc["bpd"]) < 0.02, (g["bpd"], pc["bpd"])
+    assert abs(g["apd"] - pc["apd"]) / pc["apd"] < 0.02, g["apd"]
