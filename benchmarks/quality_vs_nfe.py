@@ -6,12 +6,13 @@ Modes measured on the protocol shapes (500-sample generation, ref
 run/demo.py:137-161; 50-pose left-leg completion, ref run/completion.py):
 
 - pc-1000 (EM + langevin corrector, the reference metrics protocol) —
-  fused Pallas kernel, bf16 matmuls; plus int8 W8A8
-- ddim-10/20/50 — fused Pallas kernel; plus int8
+  fused Pallas kernel, bf16; plus int8 per-tensor / int8-mixed
+  (``bf16_tail_steps``) / int8 per-channel (SmoothQuant fold)
+- ddim-10/20/50 — fused Pallas kernel; same quant variants
 - dpm-10/20 — tabled XLA DPM-Solver++(2M)
-- imputation completion pc-1000 bf16 vs int8 (hypo sampler)
-- mixed precision (``bf16_tail_steps``): int8 head + bf16 tail — the
-  serving mode that recovers the completion path int8 alone degrades
+- hybrid — DDIM head + the pc schedule's exact last-m rows (plain EM or
+  langevin tail), generation AND completion forms
+- imputation completion pc-1000 (hypo sampler) across the quant modes
 
 Per mode: APD on SMPL joints (the reference's metrics body protocol,
 synthetic body held fixed across modes so the SAMPLER is the variable),

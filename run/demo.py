@@ -75,6 +75,16 @@ def parse_args(argv):
                         help="m_tail for --sampler hybrid: how many final "
                              "rows of the 1000-row schedule run as the "
                              "exact stochastic pc tail")
+    parser.add_argument("--hybrid-tail-corrector", type=str,
+                        default="langevin", choices=["langevin", "none"],
+                        help="corrector on the hybrid's pc tail. The "
+                             "measured default is langevin "
+                             "(stochasticity-per-row beats more rows: "
+                             "completion 133.8 vs plain-tail 149.6 mm at "
+                             "the same NFE; generation bpd matches the "
+                             "full protocol to 4 decimals — "
+                             "PERFORMANCE.md 'Hybrid'); 'none' gives the "
+                             "cheaper EM-only tail (NFE = head + m_tail)")
     parser.add_argument("--quant", type=str, default="none",
                         choices=["none", "int8", "int8-mixed"],
                         help="opt-in W8A8 serving mode for the Pallas sampler "
@@ -217,27 +227,30 @@ def main(args):
             dn = config.sampling.noise_removal
             if args.sampler == "hybrid":
                 # DDIM head + the EM schedule's exact stochastic tail
+                hyb_kw = dict(n_head=n_fs, m_tail=args.hybrid_tail,
+                              eps=eps,
+                              tail_corrector=args.hybrid_tail_corrector,
+                              snr=config.sampling.snr,
+                              n_corrector_steps=config.sampling.n_steps_each)
+                tag = (f"DDIM-{n_fs} + pc-tail-{args.hybrid_tail}"
+                       f"{'-lgv' if args.hybrid_tail_corrector == 'langevin' else ''}")
                 if (config.model.embedding_type == "positional"
                         and jax.default_backend() == "tpu"):
                     try:
                         s = few_step.get_pallas_hybrid_sampler(
-                            sde, model, params, shape, n_head=n_fs,
-                            m_tail=args.hybrid_tail, eps=eps,
-                            rng_mode="kernel",
+                            sde, model, params, shape, rng_mode="kernel",
+                            **hyb_kw,
                             **{k: v for k, v in quant_kwargs(eps).items()
                                if k != "bf16_tail_steps"})
                         s(jax.random.PRNGKey(0))  # compile probe
-                        print(f"[sampler] pallas hybrid DDIM-{n_fs} + "
-                              f"pc-tail-{args.hybrid_tail}")
+                        print(f"[sampler] pallas hybrid {tag}")
                         return lambda k, **kw: (None, s(k, **kw)[1])
                     except _KERNEL_FALLBACK_ERRORS as e:
                         print(f"[sampler] pallas hybrid unavailable "
                               f"({type(e).__name__}: {e}); tabled XLA")
                 s = few_step.get_hybrid_sampler(
-                    sde, model, params, shape, n_head=n_fs,
-                    m_tail=args.hybrid_tail, eps=eps)
-                print(f"[sampler] tabled hybrid DDIM-{n_fs} + "
-                      f"pc-tail-{args.hybrid_tail}")
+                    sde, model, params, shape, **hyb_kw)
+                print(f"[sampler] tabled hybrid {tag}")
                 return lambda k, **kw: (None, s(k, **kw)[1])
             if args.sampler == "ddim":
                 if (config.model.embedding_type == "positional"
@@ -502,10 +515,15 @@ def main(args):
                             sde, model, params, observation.shape, hypo_num,
                             n_head=n_fs, m_tail=args.hybrid_tail,
                             eps=sampling_eps, rng_mode="kernel",
+                            tail_corrector=args.hybrid_tail_corrector,
+                            snr=config.sampling.snr,
+                            n_corrector_steps=config.sampling.n_steps_each,
                             **{k: v for k, v in kwq.items()
                                if k != "bf16_tail_steps"})
                         label = (f"pallas hybrid DDIM-{n_fs} + pc-tail-"
-                                 f"{args.hybrid_tail} imputation")
+                                 f"{args.hybrid_tail}"
+                                 f"{'-lgv' if args.hybrid_tail_corrector == 'langevin' else ''}"
+                                 f" imputation")
                     else:
                         s = few_step.get_pallas_ddim_hypo_sampler(
                             sde, model, params, observation.shape, hypo_num,
@@ -523,9 +541,14 @@ def main(args):
                     s = few_step.get_hybrid_hypo_sampler(
                         sde, model, params, observation.shape, hypo_num,
                         n_head=n_fs, m_tail=args.hybrid_tail,
-                        eps=sampling_eps)
+                        eps=sampling_eps,
+                        tail_corrector=args.hybrid_tail_corrector,
+                        snr=config.sampling.snr,
+                        n_corrector_steps=config.sampling.n_steps_each)
                     print(f"[sampler] tabled hybrid DDIM-{n_fs} + pc-tail-"
-                          f"{args.hybrid_tail} imputation")
+                          f"{args.hybrid_tail}"
+                          f"{'-lgv' if args.hybrid_tail_corrector == 'langevin' else ''}"
+                          f" imputation")
                 elif args.sampler == "ddim":
                     s = few_step.get_ddim_hypo_sampler(
                         sde, model, params, observation.shape, hypo_num,

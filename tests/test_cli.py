@@ -240,9 +240,11 @@ def test_demo_completion2_few_step_samplers(workdir):
 def test_demo_completion2_hybrid_sampler(workdir):
     """--task completion2 --sampler hybrid: DDIM head + the pc schedule's
     exact stochastic tail (the measured few-step completion serving mode,
-    PERFORMANCE.md 'Quality vs NFE'). The tiny config's N=50 grid bounds
+    PERFORMANCE.md 'Quality vs NFE'). Default tail corrector is langevin
+    (the measured winner); --hybrid-tail-corrector none selects the
+    cheaper EM-only tail. The tiny config's N=50 grid bounds
     --hybrid-tail."""
-    out = run_cli([
+    base = [
         "run.demo", "--config", workdir["config"],
         "--task", "completion2", "--sampler", "hybrid",
         "--sampler-steps", "4", "--hybrid-tail", "10",
@@ -251,8 +253,11 @@ def test_demo_completion2_hybrid_sampler(workdir):
         "--bodymodel-path", workdir["bm"],
         "--dataset-folder", workdir["data_root"], "--version", "version1",
         "--file-path", workdir["toy"],
-        "--output-path", workdir["out"]])
-    assert "hybrid DDIM-4 + pc-tail-10" in out and "MPJPE" in out
+        "--output-path", workdir["out"]]
+    out = run_cli(base)
+    assert "hybrid DDIM-4 + pc-tail-10-lgv" in out and "MPJPE" in out
+    out = run_cli(base + ["--hybrid-tail-corrector", "none"])
+    assert "hybrid DDIM-4 + pc-tail-10 imputation" in out and "MPJPE" in out
 
 
 def test_demo_generation_ode_method(workdir):
