@@ -309,6 +309,23 @@ def main():
                    tail_corrector="langevin", snr=config.sampling.snr,
                    n_corrector_steps=config.sampling.n_steps_each,
                    rng_mode="kernel", **quant_kw_pc("langevin"))))
+        # controls for the "hybrid beats the protocol" claim: (a) a longer
+        # lgv tail — does quality keep improving? (b) the FULL 1000-row
+        # path with the langevin corrector (2000 NFE) — how much of the
+        # win is just langevin mixing?
+        yield ("completion hybrid-lgv-25+400 bf16", 825,
+               lambda: _wrap_hypo(few_step.get_pallas_hybrid_hypo_sampler(
+                   sde, model, params, (args.comp_batch, D), args.comp_hypo,
+                   n_head=25, m_tail=400, eps=EPS,
+                   tail_corrector="langevin", snr=config.sampling.snr,
+                   n_corrector_steps=config.sampling.n_steps_each,
+                   rng_mode="kernel")))
+        yield ("completion pc-1000+lgv bf16", 2000,
+               lambda: get_pallas_em_hypo_sampler(
+                   sde, model, params, (args.comp_batch, D), args.comp_hypo,
+                   eps=EPS, denoise=True, rng_mode="kernel",
+                   corrector="langevin", snr=config.sampling.snr,
+                   n_corrector_steps=config.sampling.n_steps_each))
 
     def _wrap_hypo(s):  # few-step hypo samplers return (nfe, hypos)
         return lambda key, o, m: s(key, o, m)[1]

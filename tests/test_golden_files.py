@@ -273,6 +273,16 @@ def test_quality_vs_nfe_r5_unified_pins():
     lgv = rows["completion hybrid-lgv-25+100 bf16"]["mpjpe"]
     assert lgv < h["25+200"] and lgv < h["25+500"], (lgv, h)
     assert lgv < 1.05 * c_pc, (lgv, c_pc)
+    # longer lgv tails overtake the protocol outright...
+    assert rows["completion hybrid-lgv-25+200 bf16"]["mpjpe"] < c_pc
+    assert rows["completion hybrid-lgv-25+400 bf16"]["mpjpe"] \
+        < rows["completion hybrid-lgv-25+200 bf16"]["mpjpe"]
+    # ...and the control shows the win is NFE REALLOCATION, not langevin
+    # itself: the full schedule + langevin (2000 evals) is no better than
+    # the corrector-free protocol and loses to lgv-25+400 at 2.4x evals
+    ctrl = rows["completion pc-1000+lgv bf16"]["mpjpe"]
+    assert ctrl > 0.99 * c_pc, (ctrl, c_pc)
+    assert rows["completion hybrid-lgv-25+400 bf16"]["mpjpe"] < ctrl
 
     # generation: the same mode reproduces the full protocol's sample
     # DISTRIBUTION (bpd within 0.02, APD within 2%) at 4.4x fewer evals
