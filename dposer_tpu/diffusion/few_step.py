@@ -24,6 +24,16 @@ s(t) eps`` (VP / subVP — including its non-sqrt std convention, since
 ``return_alpha_sigma`` returns the TRUE marginal std — and VE via
 a=1), and a uniform-t or uniform-log-SNR (``grid="lambda"``) step grid.
 
+The module also hosts the **hybrid DDIM->pc sampler**
+(``get_hybrid_sampler`` and friends): a few-step DDIM head down to the
+``(N - m_tail)``-th point of the reference schedule grid, then the pc
+sampler's exact last ``m_tail`` rows (langevin tail by default). The
+measured result on the trained checkpoint (PERFORMANCE.md "Hybrid"):
+completion within 4.4% of the 1000-row protocol at 4.4x fewer NFE,
+beating it outright at longer tails (120.9 vs 128.1 mm at NFE 825), and
+generation bpd equal to the protocol's to 4 decimals at NFE 225 — the
+win is NFE reallocation away from the uninformative early schedule.
+
 Quality contract: distribution-level agreement with the 1000-step EM
 sampler on a trained model, pinned in
 ``tests/test_golden_pipeline.py::test_few_step_samplers_match_em_distribution``.
