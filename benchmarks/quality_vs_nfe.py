@@ -162,7 +162,10 @@ def main():
         # generation hybrids (appended AFTER the original modes so their
         # key-stream positions are stable vs the committed artifact):
         # does the langevin tail buy full-protocol APD/bpd at 4x fewer NFE?
-        for m_tail in (100, 50):
+        # NOTE: append new generation modes at the END — the per-mode key
+        # stream is positional, so inserting mid-list would re-seed every
+        # later mode vs the committed artifact
+        for m_tail in (100, 50, 200):
             yield (f"hybrid-lgv-25+{m_tail} bf16", 25 + 2 * m_tail,
                    lambda mt=m_tail: _wrap(
                        few_step.get_pallas_hybrid_sampler(
