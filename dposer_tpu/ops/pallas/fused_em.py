@@ -515,7 +515,17 @@ def _sharded_sampler(sde, model, params, shape, eps, denoise, interpret,
                      rng_mode, batch_block, corrector, snr, n_corrector_steps,
                      imputation, mesh, gn, probability_flow, predictor,
                      quant, act_amax, step_range, _tables_override, _ablate):
-    """shard_map the single-device kernel over the mesh's batch shards."""
+    """shard_map the single-device kernel over the mesh's batch shards.
+
+    Langevin note: the corrector's batch-mean gradient/noise norms are
+    computed PER SHARD (each device's rows form an independent langevin
+    batch) — the multi-device analogue of the reference's per-replica
+    batch statistics under DataParallel. At protocol shard sizes
+    (>=32 rows) the per-shard mean is statistically indistinguishable
+    from the global one; the single-device path still keeps its
+    whole-batch exactness guarantee. Pinned by
+    tests/test_parallel.py::test_sharded_langevin_corrector.
+    """
     from jax.sharding import PartitionSpec as P
 
     from ...parallel.sharding import DATA_AXIS

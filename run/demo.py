@@ -510,6 +510,11 @@ def main(args):
                     if "bf16_tail_steps" in kwq:
                         kwq["bf16_tail_steps"] = max(
                             1, min(kwq["bf16_tail_steps"], n_fs // 10))
+                    # multi-chip: hypotheses tile into the batch, shard
+                    # over the mesh when divisible (as the pc path below)
+                    hb = hypo_num * observation.shape[0]
+                    fs_mesh = mesh if (mesh.devices.size > 1
+                                       and hb % mesh.devices.size == 0) else None
                     if args.sampler == "hybrid":
                         s = few_step.get_pallas_hybrid_hypo_sampler(
                             sde, model, params, observation.shape, hypo_num,
@@ -518,6 +523,7 @@ def main(args):
                             tail_corrector=args.hybrid_tail_corrector,
                             snr=config.sampling.snr,
                             n_corrector_steps=config.sampling.n_steps_each,
+                            mesh=fs_mesh,
                             **{k: v for k, v in kwq.items()
                                if k != "bf16_tail_steps"})
                         label = (f"pallas hybrid DDIM-{n_fs} + pc-tail-"
@@ -528,7 +534,7 @@ def main(args):
                         s = few_step.get_pallas_ddim_hypo_sampler(
                             sde, model, params, observation.shape, hypo_num,
                             n_steps=n_fs, eps=sampling_eps, denoise=dn,
-                            rng_mode="kernel", **kwq)
+                            rng_mode="kernel", mesh=fs_mesh, **kwq)
                         label = f"pallas DDIM imputation kernel, {n_fs} steps"
                     _, multihypo = s(kh, observation, mask)
                     print(f"[sampler] {label} x {hypo_num} hypos"
