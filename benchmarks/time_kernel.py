@@ -81,6 +81,20 @@ def main():
     s = get_pallas_em_sampler(sde, model, params, (B, DIM), rng_mode="kernel")
     timeit("EM, kernel-rng, batch 4096 (grid)", s, B)
 
+    # hybrid completion serving (DDIM-25 head + lgv-100 pc tail, two
+    # dispatches, NFE 225): protocol batch (50x5 hypos tiled = 250) and
+    # the serving batch the few-step kernels peak at
+    from dposer_tpu.diffusion.few_step import get_pallas_hybrid_sampler
+
+    for B in (250, 4096):
+        obs = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (B, DIM))
+        mask = jnp.zeros((B, DIM)).at[:, 10:30].set(1.0)
+        s = get_pallas_hybrid_sampler(
+            sde, model, params, (B, DIM), n_head=25, m_tail=100,
+            tail_corrector="langevin", imputation=True, rng_mode="kernel")
+        timeit(f"hybrid-lgv-25+100 imputation, batch {B}", s, B,
+               observation=obs, mask=mask)
+
 
 if __name__ == "__main__":
     main()
