@@ -75,20 +75,36 @@ int self_intersecting_faces(const float *verts, int n_verts, const int32_t *face
   }
 
   const int n_cells = dims[0] * dims[1] * dims[2];
-  std::vector<std::vector<int>> grid(n_cells);
   auto cell_range = [&](const AABB &b, int lo_i[3], int hi_i[3]) {
     for (int k = 0; k < 3; ++k) {
       lo_i[k] = std::min(std::max((int)((b.lo[k] - origin[k]) / cell[k]), 0), dims[k] - 1);
       hi_i[k] = std::min(std::max((int)((b.hi[k] - origin[k]) / cell[k]), 0), dims[k] - 1);
     }
   };
+  // CSR grid (count -> prefix sum -> fill): one flat item array instead
+  // of n_cells vectors — removes the per-cell allocation churn that
+  // dominated the broad-phase build (per-cell iteration order is the
+  // same face order as the old push_back build, so results are
+  // bit-identical)
+  std::vector<int> cell_start(n_cells + 1, 0);
   for (int f = 0; f < n_faces; ++f) {
     int lo_i[3], hi_i[3];
     cell_range(boxes[f], lo_i, hi_i);
     for (int x = lo_i[0]; x <= hi_i[0]; ++x)
       for (int y = lo_i[1]; y <= hi_i[1]; ++y)
         for (int z = lo_i[2]; z <= hi_i[2]; ++z)
-          grid[(x * dims[1] + y) * dims[2] + z].push_back(f);
+          ++cell_start[(x * dims[1] + y) * dims[2] + z + 1];
+  }
+  for (int c = 0; c < n_cells; ++c) cell_start[c + 1] += cell_start[c];
+  std::vector<int> cell_items(cell_start[n_cells]);
+  std::vector<int> cursor(cell_start.begin(), cell_start.end() - 1);
+  for (int f = 0; f < n_faces; ++f) {
+    int lo_i[3], hi_i[3];
+    cell_range(boxes[f], lo_i, hi_i);
+    for (int x = lo_i[0]; x <= hi_i[0]; ++x)
+      for (int y = lo_i[1]; y <= hi_i[1]; ++y)
+        for (int z = lo_i[2]; z <= hi_i[2]; ++z)
+          cell_items[cursor[(x * dims[1] + y) * dims[2] + z]++] = f;
   }
 
   auto shares_vertex = [&](int f, int g) {
@@ -124,8 +140,9 @@ int self_intersecting_faces(const float *verts, int n_verts, const int32_t *face
     for (int x = lo_i[0]; x <= hi_i[0] && !hit; ++x)
       for (int y = lo_i[1]; y <= hi_i[1] && !hit; ++y)
         for (int z = lo_i[2]; z <= hi_i[2] && !hit; ++z) {
-          const auto &cellv = grid[(x * dims[1] + y) * dims[2] + z];
-          for (int g : cellv) {
+          const int c = (x * dims[1] + y) * dims[2] + z;
+          for (int ii = cell_start[c]; ii < cell_start[c + 1]; ++ii) {
+            const int g = cell_items[ii];
             if (g == f || last_checked[g] == f) continue;
             last_checked[g] = f;
             if (!aabb_overlap(boxes[f], boxes[g])) continue;
